@@ -1,0 +1,228 @@
+"""Canonical graph representation: a symmetrized edge DataFrame.
+
+Mirrors the content of Grappolo's CSR ``graph`` struct
+(`/root/reference/DefineStructure/defs.h:85-92`) without the CSR: every
+undirected edge (u,v) is stored twice as (u,v) and (v,u); self-loops are
+stored once (`defs.h:89`, `InputsOutput/loadSNAP.cpp:22-23`). Adjacency is
+recovered by ``groupBy(src)`` / joins on ``src`` — Catalyst + shuffle hash
+partitioning replace the CSR layout.
+
+At 100 TB scale the edge table is the big fact table: it is hash-partitioned
+on ``src`` once (``partition_by_src``) and cached/persisted so every
+superstep's ``edges JOIN assignments`` reuses the layout, and AQE handles
+hub skew on the build side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("weight", DoubleType(), False),
+    ]
+)
+
+
+def canonical_edges(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "weight",
+    symmetrize: bool = True,
+    dedup: bool = True,
+) -> DataFrame:
+    """Normalize an arbitrary pair table into the canonical edge schema.
+
+    - casts ids to long, weight to double (1.0 when absent — matches
+      `loadEdgeList.cpp:194` "Weights will be set to one")
+    - drops duplicate (src,dst) pairs keeping max weight (reference
+      `removeEdges`, `Utility/utilityFunctions.cpp:416-465`, keeps first;
+      weights are equal in practice)
+    - symmetrizes: each non-self edge appears in both directions, self-loops
+      once (`defs.h:89`)
+    """
+    cols = [F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")]
+    if weight is not None and weight in df.columns:
+        cols.append(F.col(weight).cast("double").alias("weight"))
+    else:
+        cols.append(F.lit(1.0).alias("weight"))
+    e = df.select(*cols)
+    if symmetrize:
+        # canonicalize to (min,max) first so (u,v) and (v,u) inputs dedup
+        e = e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+    if dedup:
+        e = e.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+    if symmetrize:
+        back = e.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        e = e.unionByName(back)
+    return e
+
+
+def densify_ids(
+    pairs: DataFrame, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame]:
+    """SNAP-style dense renumbering: external ids -> 0..NV-1 longs.
+
+    The reference renumbers ids in insertion (first-appearance) order via a
+    driver-side map (`InputsOutput/loadSNAP.cpp:74-108`); a serial scan order
+    is meaningless on a distributed table, so we use the deterministic
+    sort-order of the external id instead (documented divergence — the graph
+    is isomorphic, labels differ by a fixed permutation).
+
+    Returns (vertex_map(ext_id, v), densified pairs).
+    """
+    ids = (
+        pairs.select(F.col(src).alias("ext_id"))
+        .union(pairs.select(F.col(dst).alias("ext_id")))
+        .distinct()
+    )
+    w = Window.orderBy("ext_id")
+    vertex_map = ids.select(
+        "ext_id", (F.row_number().over(w) - F.lit(1)).cast("long").alias("v")
+    )
+    sm = vertex_map.withColumnRenamed("ext_id", "_s").withColumnRenamed("v", "_sv")
+    dm = vertex_map.withColumnRenamed("ext_id", "_d").withColumnRenamed("v", "_dv")
+    dense = (
+        pairs.join(F.broadcast(sm), pairs[src] == sm["_s"])
+        .join(F.broadcast(dm), pairs[dst] == dm["_d"])
+        .select(
+            F.col("_sv").alias(src),
+            F.col("_dv").alias(dst),
+            *[c for c in pairs.columns if c not in (src, dst)],
+        )
+    )
+    return vertex_map, dense
+
+
+@dataclass
+class Graph:
+    """Undirected weighted graph as a canonical edge DataFrame.
+
+    ``edges`` must already be canonical (symmetrized, dedup'd, long ids,
+    double weight); use :func:`Graph.from_edgelist` to normalize.
+    ``vertices`` optionally carries isolated vertices (degree 0) that have no
+    edge rows — the reference keeps them with community sentinel -1
+    (`BasicCommunitiesDetection/parallelLouvainMethod.cpp:219-221`).
+    """
+
+    edges: DataFrame
+    vertices: DataFrame | None = None
+    directed: bool = False
+    _cached: list = field(default_factory=list, repr=False)
+
+    # -- constructors -------------------------------------------------
+    @classmethod
+    def from_edgelist(
+        cls,
+        df: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = "weight",
+        directed: bool = False,
+        vertices: DataFrame | None = None,
+    ) -> "Graph":
+        e = canonical_edges(df, src, dst, weight, symmetrize=not directed)
+        return cls(edges=e, vertices=vertices, directed=directed)
+
+    @classmethod
+    def from_pairs(cls, spark: SparkSession, pairs, weights=None) -> "Graph":
+        """Tiny-fixture helper: build from a python list of (u, v[, w])."""
+        rows = []
+        for p in pairs:
+            if len(p) == 3:
+                rows.append((int(p[0]), int(p[1]), float(p[2])))
+            else:
+                rows.append((int(p[0]), int(p[1]), 1.0))
+        df = spark.createDataFrame(rows, schema=EDGE_SCHEMA)
+        return cls.from_edgelist(df)
+
+    # -- basic derived tables -----------------------------------------
+    def vertex_ids(self) -> DataFrame:
+        """All vertex ids (edge endpoints union explicit vertices)."""
+        vs = self.edges.select(F.col("src").alias("v")).union(
+            self.edges.select(F.col("dst").alias("v"))
+        )
+        if self.vertices is not None:
+            vs = vs.union(self.vertices.select(F.col("v").cast("long")))
+        return vs.distinct()
+
+    def degrees(self) -> DataFrame:
+        """(v, deg) weighted degree incl. self-loop once — reference
+        ``sumVertexDegree`` (`Utility/utilityClusteringFunctions.cpp:70-87`).
+        Isolated vertices get deg 0."""
+        d = self.edges.groupBy(F.col("src").alias("v")).agg(
+            F.sum("weight").alias("deg"), F.count(F.lit(1)).alias("out_degree")
+        )
+        if self.vertices is not None:
+            d = (
+                self.vertex_ids()
+                .join(d, "v", "left")
+                .select(
+                    "v",
+                    F.coalesce("deg", F.lit(0.0)).alias("deg"),
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                )
+            )
+        return d
+
+    def num_vertices(self) -> int:
+        return self.vertex_ids().count()
+
+    def num_edges(self) -> int:
+        """Undirected edge count, each counted once (``defs.h:89``)."""
+        both = self.edges.count()
+        selfloops = self.edges.filter(F.col("src") == F.col("dst")).count()
+        return (both - selfloops) // 2 + selfloops
+
+    def total_weight_2m(self) -> float:
+        """Sum of vertex degrees = 2m (reference ``calConstantForSecondTerm``
+        denominator, `utilityClusteringFunctions.cpp:89-96`)."""
+        return self.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+
+    def characteristics(self) -> DataFrame:
+        """Degree stats job — reference ``displayGraphCharacteristics``
+        (`Utility/utilityFunctions.cpp:188-414`)."""
+        return self.degrees().agg(
+            F.count(F.lit(1)).alias("num_vertices"),
+            F.min("out_degree").alias("min_degree"),
+            F.max("out_degree").alias("max_degree"),
+            F.round(F.avg("out_degree"), 6).alias("avg_degree"),
+            F.round(F.sum("deg"), 6).alias("total_weight_2m"),
+        )
+
+    # -- scale / layout helpers ---------------------------------------
+    def partition_by_src(self, num_partitions: int | None = None) -> "Graph":
+        """Hash-partition + persist the edge table on ``src`` so iterative
+        join/groupBy supersteps reuse one layout (replaces the reference's
+        CSR counting-sort, `loadEdgeList.cpp:225-249`)."""
+        e = (
+            self.edges.repartition(num_partitions, "src")
+            if num_partitions
+            else self.edges.repartition("src")
+        )
+        e = e.persist()
+        g = Graph(edges=e, vertices=self.vertices, directed=self.directed)
+        g._cached.append(e)
+        return g
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached.clear()

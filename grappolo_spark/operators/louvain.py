@@ -1,0 +1,264 @@
+"""One Louvain level (phase) as iterative DataFrame supersteps.
+
+Faithful re-expression of the reference kernel
+`BasicCommunitiesDetection/parallelLouvainMethod.cpp:65-326` — same math,
+same tie-breaking, same termination — but bulk-synchronous over DataFrames
+instead of OpenMP over CSR. The reference's default sweep is already
+Jacobi-style (all vertices move against the *previous* iteration's
+assignment), which is exactly Spark's BSP model, so semantics line up
+without emulation.
+
+Per-iteration plan (3 shuffles: the gather groupBy, the community agg, the
+argmax window):
+
+1. gather   : edges ⋈ assign(dst) → groupBy(src, comm_dst).sum(weight)
+              (= ``buildLocalMapCounter``, `utilityClusteringFunctions.cpp:172-194`)
+2. cinfo    : assign ⋈ degrees → groupBy(comm).agg(sum deg, count)
+              (= ``cInfo`` maintenance, `parallelLouvainMethod.cpp:274-278`)
+3. gain     : for candidate y≠curr:
+              ``2*(eiy − eix) − 2*deg_v*(ay − ax)/2m`` with
+              ``eix = w(v→curr) − selfLoop``, ``ax = a_curr − deg_v``,
+              ``ay = a_y``  (`utilityClusteringFunctions.cpp:226-259`)
+4. argmax   : positive gains only, ties → smaller community id
+              (`:245-248`); singleton-swap protection (`:254-256`)
+5. modularity: ``Q = e_xx/2m − Σa_C²/(2m)²`` with e_xx measured on the
+              *pre-move* assignment (`parallelLouvainMethod.cpp:244-255`)
+6. stop when ``currMod − prevMod < thresh``; return the assignment from the
+              *previous* iteration (`:266-268, 302-307`)
+
+Isolated vertices never move (reference sets target −1, `:219-221`); here
+they simply have no gather rows, so they keep their own singleton label.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from grappolo_spark.graph import Graph
+from grappolo_spark.plans.iteration import SuperstepRunner
+
+
+def modularity(edges: DataFrame, assign: DataFrame, degrees: DataFrame) -> float:
+    """Q of a (v, comm) partition over a canonical symmetrized edge table.
+
+    Implements the formula the reference leaves stubbed in
+    `utilityClusterComparisonMetrics.cpp:409-411` using the kernel's own
+    accounting (`parallelLouvainMethod.cpp:244-255`).
+    """
+    two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    if two_m == 0:
+        return 0.0
+    a_src = assign.withColumnRenamed("v", "src").withColumnRenamed("comm", "comm_src")
+    a_dst = assign.withColumnRenamed("v", "dst").withColumnRenamed("comm", "comm_dst")
+    e_xx = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("comm_src") == F.col("comm_dst"))
+        .agg(F.sum("weight"))
+        .collect()[0][0]
+        or 0.0
+    )
+    a2_x = (
+        assign.join(degrees, "v")
+        .groupBy("comm")
+        .agg(F.sum("deg").alias("cdeg"))
+        .agg(F.sum(F.col("cdeg") * F.col("cdeg")))
+        .collect()[0][0]
+        or 0.0
+    )
+    return e_xx / two_m - a2_x / (two_m * two_m)
+
+
+@dataclass
+class LouvainPhaseResult:
+    assignment: DataFrame  # (v, comm)
+    modularity: float  # prevMod, as returned by the reference kernel
+    iterations: int
+
+
+def louvain_one_phase(
+    g: Graph,
+    thresh: float = 1e-6,
+    lower: float = -1.0,
+    max_iters: int = 1000,
+    init_assign: DataFrame | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 12345,
+    run_dir: str | None = None,
+) -> LouvainPhaseResult:
+    """Run one modularity-optimization level to its convergence threshold.
+
+    ``init_assign`` gives warm starts (reference
+    `parallelLouvainMethodInitialized.cpp:106-112`). ``sample_fraction``
+    reproduces the Approx kernel's behavior
+    (`parallelLouvainMethodApprox.cpp:139-155`): only a seeded random subset
+    of vertices may move each iteration.
+    """
+    spark = g.edges.sparkSession
+    edges = g.edges.persist()
+    vdeg = g.degrees().select("v", "deg").persist()
+    two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    if two_m == 0.0:
+        empty = spark.createDataFrame([], "v long, comm long")
+        return LouvainPhaseResult(empty, 0.0, 0)
+    const = 1.0 / two_m
+
+    selfw = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("weight").alias("selfloop"))
+    )
+
+    runner = SuperstepRunner(spark, run_dir)
+    start, resumed = runner.resume()
+    if resumed is not None:
+        assign = resumed
+        prev_assign = assign
+        prev_mod = runner.history[-1].get("prev_mod", -1.0) if runner.history else -1.0
+    else:
+        if init_assign is not None:
+            assign = init_assign.select("v", "comm")
+        else:
+            assign = vdeg.select("v", F.col("v").alias("comm"))
+        assign = assign.localCheckpoint(eager=True)
+        prev_assign = assign
+        prev_mod = -1.0
+
+    num_itrs = start
+    for step in range(start, max_iters):
+        num_itrs = step + 1
+        # --- cinfo of the current assignment ------------------------------
+        cinfo = (
+            assign.join(vdeg, "v")
+            .groupBy("comm")
+            .agg(F.sum("deg").alias("cdeg"), F.count(F.lit(1)).alias("csize"))
+        ).persist()
+
+        # --- gather: weight from each vertex to each neighbor community ---
+        a_dst = assign.select(
+            F.col("v").alias("dst"), F.col("comm").alias("comm_dst")
+        )
+        counter = (
+            edges.join(a_dst, "dst")
+            .groupBy(F.col("src").alias("v"), F.col("comm_dst").alias("cand"))
+            .agg(F.sum("weight").alias("wsum"))
+        ).persist()
+
+        # --- per-vertex current-community stats ----------------------------
+        cur = (
+            assign.join(vdeg, "v")
+            .join(selfw, "v", "left")
+            .join(
+                cinfo.select(
+                    F.col("comm"), F.col("cdeg").alias("cdeg_cur"),
+                    F.col("csize").alias("csize_cur"),
+                ),
+                "comm",
+            )
+            .join(
+                counter.filter(F.col("cand").isNotNull()).alias("c"),
+                (F.col("c.v") == assign.v) & (F.col("c.cand") == assign.comm),
+                "left",
+            )
+            .select(
+                assign.v.alias("v"),
+                F.col("comm"),
+                F.col("deg"),
+                F.coalesce("selfloop", F.lit(0.0)).alias("selfloop"),
+                F.col("cdeg_cur"),
+                F.col("csize_cur"),
+                F.coalesce("wsum", F.lit(0.0)).alias("w_own"),
+            )
+        ).persist()
+
+        # --- modularity of the pre-move assignment -------------------------
+        e_xx = cur.agg(F.sum("w_own")).collect()[0][0] or 0.0
+        a2_x = (
+            cinfo.agg(F.sum(F.col("cdeg") * F.col("cdeg"))).collect()[0][0] or 0.0
+        )
+        curr_mod = e_xx * const - a2_x * const * const
+
+        stop = (curr_mod - prev_mod) < thresh
+        metrics = {
+            "op": "louvain",
+            "e_xx": e_xx,
+            "a2_x": a2_x,
+            "curr_mod": curr_mod,
+            "prev_mod": prev_mod,
+            "gain": curr_mod - prev_mod,
+        }
+        if stop:
+            cinfo.unpersist()
+            counter.unpersist()
+            cur.unpersist()
+            break
+
+        # --- candidate gains + argmax --------------------------------------
+        cand = (
+            counter.join(cur, "v")
+            .filter(F.col("cand") != F.col("comm"))
+            .join(
+                cinfo.select(F.col("comm").alias("cand"), F.col("cdeg").alias("ay"),
+                             F.col("csize").alias("csize_cand")),
+                "cand",
+            )
+            .withColumn("eix", F.col("w_own") - F.col("selfloop"))
+            .withColumn("ax", F.col("cdeg_cur") - F.col("deg"))
+            .withColumn(
+                "gain",
+                2.0 * (F.col("wsum") - F.col("eix"))
+                - 2.0 * F.col("deg") * (F.col("ay") - F.col("ax")) * F.lit(const),
+            )
+            .filter(F.col("gain") > 0)
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("gain"), F.asc("cand"))
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "cand", "csize_cand", F.col("csize_cur").alias("csize_me"))
+        )
+        # singleton-swap protection (`utilityClusteringFunctions.cpp:254-256`)
+        best = best.withColumn(
+            "blocked",
+            (F.col("csize_cand") == 1)
+            & (F.col("csize_me") == 1)
+            & (F.col("cand") > F.col("v")),
+        )
+        if sample_fraction is not None and sample_fraction < 1.0:
+            # seeded per-iteration sampling: non-sampled vertices keep comm
+            best = best.withColumn(
+                "sampled",
+                F.xxhash64(F.col("v"), F.lit(seed + step)) % 100
+                < int(sample_fraction * 100),
+            ).filter(F.col("sampled"))
+
+        new_assign = (
+            assign.join(best.select("v", "cand", "blocked"), "v", "left")
+            .select(
+                "v",
+                F.when(
+                    F.col("cand").isNotNull() & ~F.col("blocked"), F.col("cand")
+                )
+                .otherwise(F.col("comm"))
+                .alias("comm"),
+            )
+        )
+
+        prev_mod = curr_mod if curr_mod > lower else lower
+        prev_assign = assign
+        assign = runner.commit(step, new_assign, dict(metrics, prev_mod=prev_mod))
+        cinfo.unpersist()
+        counter.unpersist()
+        cur.unpersist()
+
+    edges.unpersist()
+    vdeg.unpersist()
+    return LouvainPhaseResult(
+        assignment=prev_assign.select("v", "comm"),
+        modularity=prev_mod,
+        iterations=num_itrs,
+    )

@@ -1,0 +1,94 @@
+"""PageRank as iterative join/groupBy supersteps.
+
+Not present in the reference (Grappolo is a Louvain library); required by
+the north_rule alongside it. Semantics (fixed so the DuckDB oracle can be
+generated mechanically):
+
+- ``rank_0(v) = 1/N`` over the graph's vertex set (isolated vertices incl.)
+- contribution of v along edge (v,u): ``alpha * rank(v) * w(v,u) / wout(v)``
+  (weighted out-degree; equals uniform split on unweighted graphs)
+- dangling vertices (wout = 0) redistribute ``alpha * rank / N`` uniformly
+- ``rank_{t+1}(u) = (1-alpha)/N + alpha * (in_contrib + dangling_mass/N)``
+
+Ranks sum to 1 every iteration. With ``tol=None`` runs exactly
+``max_iters`` supersteps (deterministic — used by the correctness oracle);
+with ``tol`` set stops when L1 delta < tol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grappolo_spark.graph import Graph
+from grappolo_spark.plans.iteration import SuperstepRunner
+
+
+def pagerank(
+    g: Graph,
+    alpha: float = 0.85,
+    max_iters: int = 20,
+    tol: float | None = None,
+    run_dir: str | None = None,
+) -> DataFrame:
+    """Return ``(v, rank)``. Deterministic given (graph, alpha, max_iters)."""
+    spark = g.edges.sparkSession
+    verts = g.vertex_ids()
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "v long, rank double")
+
+    wout = g.edges.groupBy(F.col("src").alias("v")).agg(F.sum("weight").alias("wout"))
+    base = verts.join(wout, "v", "left").select(
+        "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
+    )
+    base = base.persist()
+    edges = g.edges.persist()
+
+    runner = SuperstepRunner(spark, run_dir)
+    start, resumed = runner.resume()
+    if resumed is not None:
+        ranks = resumed
+    else:
+        ranks = base.select("v", F.lit(1.0 / n).alias("rank"), "wout")
+        start = 0
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for step in range(start, max_iters):
+        dangling = (
+            ranks.filter(F.col("wout") == 0.0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(ranks, edges.src == ranks.v)
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("rank") * F.col("weight") / F.col("wout")).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_contrib"))
+        )
+        new = base.join(contribs, "v", "left").select(
+            "v",
+            (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha)
+                * (F.coalesce("in_contrib", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+            "wout",
+        )
+        if tol is not None:
+            delta = (
+                new.alias("n")
+                .join(ranks.alias("o"), "v")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .collect()[0][0]
+            )
+        ranks = runner.commit(step, new, {"op": "pagerank", "alpha": alpha})
+        if tol is not None and delta < tol:
+            break
+
+    out = ranks.select("v", "rank")
+    base.unpersist()
+    edges.unpersist()
+    return out

@@ -1,0 +1,107 @@
+"""Superstep loop machinery: lineage truncation + resumable checkpoints.
+
+Every iterative operator (Louvain, PageRank, CC, LPA, coloring) runs a
+driver-side while-loop over DataFrames. Two scale problems this module owns:
+
+1. **Lineage growth** — each superstep's plan references the previous one;
+   after ~20 iterations the plan tree explodes. ``cut_lineage`` truncates via
+   ``localCheckpoint`` (fast, executor-local) or reliable ``checkpoint``
+   when a checkpoint dir is set (survives executor loss — required at
+   100 TB / 1000-executor scale).
+
+2. **Resumability** (north_rule) — ``SuperstepRunner`` persists per-superstep
+   state parquet + a metrics JSON sidecar (per-partition row counts =
+   "per-partition lineage", plus operator metrics such as modularity gain)
+   under a run directory, so a killed job resumes mid-iteration from the
+   last completed superstep — the DataFrame analogue of the reference's
+   warm-start kernel (`parallelLouvainMethodInitialized.cpp:106-112`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def cut_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Truncate the logical plan. ``reliable=True`` needs a checkpoint dir."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+class SuperstepRunner:
+    """Checkpointed superstep state store.
+
+    Usage::
+
+        runner = SuperstepRunner(spark, run_dir, every=5)
+        start, state = runner.resume(schema_loader)   # (0, None) fresh
+        for step in range(start, max_iters):
+            state, metrics = advance(state)
+            state = runner.commit(step, state, metrics)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str | None = None,
+        every: int = 1,
+        reliable: bool = False,
+    ):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.every = max(1, every)
+        self.reliable = reliable
+        self.history: list[dict] = []
+        if run_dir:
+            os.makedirs(run_dir, exist_ok=True)
+
+    # -- persistence ---------------------------------------------------
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.run_dir, f"step={step:06d}")
+
+    def resume(self) -> tuple[int, DataFrame | None]:
+        """Return (next_step, last committed state DF or None)."""
+        if not self.run_dir or not os.path.isdir(self.run_dir):
+            return 0, None
+        done = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.run_dir)
+            if d.startswith("step=")
+            and os.path.exists(os.path.join(self.run_dir, d, "_METRICS.json"))
+        )
+        if not done:
+            return 0, None
+        last = done[-1]
+        state = self.spark.read.parquet(os.path.join(self._step_dir(last), "state"))
+        with open(os.path.join(self._step_dir(last), "_METRICS.json")) as f:
+            self.history = json.load(f).get("history", [])
+        return last + 1, state
+
+    def commit(self, step: int, state: DataFrame, metrics: dict) -> DataFrame:
+        """Record a completed superstep; returns the (lineage-cut) state."""
+        metrics = dict(metrics, step=step, ts=time.time())
+        self.history.append(metrics)
+        if self.run_dir and step % self.every == 0:
+            sd = self._step_dir(step)
+            state.write.mode("overwrite").parquet(os.path.join(sd, "state"))
+            state = self.spark.read.parquet(os.path.join(sd, "state"))
+            # per-partition lineage: rows per partition of the committed state
+            part_rows = [
+                r.asDict()
+                for r in state.groupBy(F.spark_partition_id().alias("partition"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            ]
+            with open(os.path.join(sd, "_METRICS.json"), "w") as f:
+                json.dump(
+                    {"metrics": metrics, "partitions": part_rows, "history": self.history},
+                    f,
+                )
+            return state
+        return cut_lineage(state, self.reliable)
