@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Graph queries run over two edge tables derived deterministically from the
+TPC-H-ish testdata (so DuckDB can build the identical graph for the oracle):
+
+- **cs graph**  — customer–supplier bipartite graph: edge (c_custkey,
+  1000000 + l_suppkey) with weight = #lineitems, symmetrized. Dense-ish.
+- **parts graph** — part co-occurrence: parts linked when they appear in ≥2
+  common orders, weight 1. Sparse, multiple components, has triangles.
+
+Every queries() entry has a value-level DuckDB oracle except the iterative
+community detection (louvain) and hash-sketch ops (minhash/simhash — xxhash64
+has no DuckDB equivalent); those get rows-only checks here and value-level
+pytest oracles in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +19,670 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grappolo_spark.graph import Graph
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# graph builders (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def build_cs_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Customer–supplier bipartite graph (suppliers offset by 1,000,000)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return Graph.from_edgelist(raw)
+
+
+def build_parts_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Part co-occurrence graph: parts sharing >= 2 orders, weight 1."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnRenamed("l_partkey", "u")
+    b = li.withColumnRenamed("l_partkey", "v")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    return Graph.from_edgelist(pairs)
+
+
+def _nation_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, comm): customers -> c_nationkey, suppliers -> 25 + s_nationkey."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("v"),
+        F.col("c_nationkey").cast("long").alias("comm"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        (F.lit(1_000_000) + F.col("s_suppkey")).cast("long").alias("v"),
+        (F.lit(25) + F.col("s_nationkey")).cast("long").alias("comm"),
+    )
+    return cust.unionByName(supp)
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side — must mirror the builders exactly)
+# ---------------------------------------------------------------------------
+
+CS_EDGES_CTE = """
+cs_raw AS (
+  SELECT o.o_custkey AS src,
+         1000000 + l.l_suppkey AS dst,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+cs_edges AS (
+  SELECT src, dst, weight FROM cs_raw
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM cs_raw
+)
+"""
+
+PARTS_EDGES_CTE = """
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pp AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+parts_edges AS (
+  SELECT u AS src, v AS dst, CAST(1.0 AS DOUBLE) AS weight FROM pp
+  UNION ALL
+  SELECT v, u, CAST(1.0 AS DOUBLE) FROM pp
+)
+"""
+
+NATION_ASSIGN_CTE = """
+assign AS (
+  SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_nationkey AS BIGINT) AS comm
+  FROM customer
+  UNION ALL
+  SELECT CAST(1000000 + s_suppkey AS BIGINT), CAST(25 + s_nationkey AS BIGINT)
+  FROM supplier
+)
+"""
+
+TOKEN_RE_SQL = "[A-Za-z0-9_]+"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_EN = "\\b(the|and|is|of|to|in|that|it|was|for)\\b"
+_DE = "\\b(der|die|und|das|ist|nicht|ein|mit|auf|zu)\\b"
+_FR = "\\b(le|la|et|les|des|est|pas|une|dans|que)\\b"
+_ES = "\\b(el|la|que|los|una|por|con|para|del|es)\\b"
+
+
+def _pagerank_sql(iters: int = 10, alpha: float = 0.85) -> str:
+    parts = [
+        CS_EDGES_CTE.strip().rstrip(),
+        "verts AS (SELECT DISTINCT src AS v FROM cs_edges)",
+        "wout AS (SELECT src AS v, sum(weight) AS wo FROM cs_edges GROUP BY 1)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "pr0 AS (SELECT v, (SELECT 1.0 / n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pr{i + 1} AS (
+  SELECT t.v,
+         (SELECT (1.0 - {alpha}) / n FROM nn)
+           + {alpha} * COALESCE(c.contrib, 0.0) AS rank
+  FROM verts t LEFT JOIN (
+    SELECT e.dst AS v, sum(p.rank * e.weight / o.wo) AS contrib
+    FROM cs_edges e
+    JOIN pr{i} p ON e.src = p.v
+    JOIN wout o ON o.v = e.src
+    GROUP BY e.dst
+  ) c ON c.v = t.v
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM pr{iters}"
+    )
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    parts = [
+        PARTS_EDGES_CTE.strip(),
+        "l0 AS (SELECT DISTINCT src AS v, src AS label FROM parts_edges)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""l{i + 1} AS (
+  SELECT prev.v, COALESCE(b.label, prev.label) AS label
+  FROM l{i} prev LEFT JOIN (
+    SELECT v, label FROM (
+      SELECT f.v, f.label,
+             row_number() OVER (PARTITION BY f.v ORDER BY f.w DESC, f.label ASC) AS rn
+      FROM (
+        SELECT e.src AS v, p.label, sum(e.weight) AS w
+        FROM parts_edges e JOIN l{i} p ON e.dst = p.v
+        GROUP BY 1, 2
+      ) f
+    ) WHERE rn = 1
+  ) b ON b.v = prev.v
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT v, label FROM l{iters}"
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: multi-phase Louvain over the sf0.001 cs graph."""
+    from grappolo_spark.operators.multiphase import louvain
+
+    g = build_cs_graph(spark, SF_DEFAULT)
+    res = louvain(g, max_phases=3)
+    return res.assignment
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from grappolo_spark.functions import dedup as D
+    from grappolo_spark.functions import similarity as S
+    from grappolo_spark.functions import text as T
+    from grappolo_spark.operators.components import connected_components
+    from grappolo_spark.operators.compare import community_comparison, gini_coefficient
+    from grappolo_spark.operators.labelprop import label_propagation
+    from grappolo_spark.operators.louvain import modularity
+    from grappolo_spark.operators.multiphase import coarsen, louvain
+    from grappolo_spark.operators.pagerank import pagerank
+    from grappolo_spark.operators.sparsify import edge_jaccard, sparsify_topk
+    from grappolo_spark.operators.triangles import triangle_count
+    from grappolo_spark.operators.vertex_following import vertex_following_map
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_cs_edges(spark, sf):
+        return build_cs_graph(spark, sf).edges
+
+    def q_degree_stats(spark, sf):
+        return build_cs_graph(spark, sf).characteristics()
+
+    def q_cc(spark, sf):
+        return connected_components(build_parts_graph(spark, sf))
+
+    def q_pagerank(spark, sf):
+        g = build_cs_graph(spark, sf)
+        pr = pagerank(g, alpha=0.85, max_iters=10)
+        return pr.select("v", F.round("rank", 6).alias("rank"))
+
+    def q_lpa(spark, sf):
+        g = build_parts_graph(spark, sf)
+        return label_propagation(g, max_iters=3, stop_on_converge=False)
+
+    def q_tri_total(spark, sf):
+        return triangle_count(build_parts_graph(spark, sf))
+
+    def q_tri_vertex(spark, sf):
+        return triangle_count(build_parts_graph(spark, sf), per_vertex=True)
+
+    def q_jaccard(spark, sf):
+        return edge_jaccard(build_parts_graph(spark, sf))
+
+    def q_sparsify(spark, sf):
+        return sparsify_topk(build_parts_graph(spark, sf), alpha=0.5)
+
+    def q_vf(spark, sf):
+        return vertex_following_map(build_cs_graph(spark, sf))
+
+    def q_coarsen(spark, sf):
+        g = build_cs_graph(spark, sf)
+        cg = coarsen(g, _nation_assign(spark, sf))
+        return cg.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+    def q_modularity(spark, sf):
+        g = build_cs_graph(spark, sf)
+        q = modularity(g.edges, _nation_assign(spark, sf), g.degrees())
+        return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+    def q_compare(spark, sf):
+        cust = _read(spark, sf, "customer")
+        c1 = cust.select(
+            F.col("c_custkey").cast("long").alias("v"),
+            F.col("c_nationkey").cast("long").alias("comm"),
+        )
+        from pyspark.sql.window import Window
+
+        seg_map = (
+            cust.select("c_mktsegment").distinct()
+            .select(
+                "c_mktsegment",
+                (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1)
+                .cast("long")
+                .alias("sid"),
+            )
+        )
+        c2 = cust.join(F.broadcast(seg_map), "c_mktsegment").select(
+            F.col("c_custkey").cast("long").alias("v"), F.col("sid").alias("comm")
+        )
+        m = community_comparison(c1, c2)
+        return spark.createDataFrame(
+            [
+                (
+                    m["n"],
+                    float(m["same_same"]),
+                    float(m["same_diff"]),
+                    float(m["diff_same"]),
+                    round(m["precision"], 6),
+                    round(m["recall"], 6),
+                    round(m["fscore"], 6),
+                    round(m["mirkin"], 9),
+                )
+            ],
+            "n long, same_same double, same_diff double, diff_same double, "
+            "precision double, recall double, fscore double, mirkin double",
+        )
+
+    def q_gini(spark, sf):
+        cust = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("v"),
+            F.col("c_nationkey").cast("long").alias("comm"),
+        )
+        return spark.createDataFrame(
+            [(round(gini_coefficient(cust), 6),)], "gini double"
+        )
+
+    def q_louvain(spark, sf):  # rows-only check (iterative, non-SQL)
+        g = build_cs_graph(spark, sf)
+        return louvain(g, max_phases=3).assignment
+
+    def q_dedup_exact(spark, sf):
+        return D.exact_dedup(_read(spark, sf, "documents"))
+
+    def q_ngram_jaccard(spark, sf):
+        return D.ngram_jaccard_pairs(
+            _read(spark, sf, "documents"), n=3, threshold=0.3
+        )
+
+    def q_minhash(spark, sf):  # rows-only (xxhash64 sketch)
+        return D.minhash_lsh_pairs(
+            _read(spark, sf, "documents"), num_hashes=32, bands=8, threshold=0.5
+        )
+
+    def q_simhash(spark, sf):  # rows-only (xxhash64 sketch)
+        return D.simhash_buckets(_read(spark, sf, "documents"))
+
+    def q_tokens(spark, sf):
+        d = T.token_count(_read(spark, sf, "documents"))
+        return d.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+    def q_quality(spark, sf):
+        return T.quality_score(_read(spark, sf, "documents")).select(
+            "doc_id", "quality"
+        )
+
+    def q_langid(spark, sf):
+        return T.language_id(_read(spark, sf, "documents")).select(
+            "doc_id", "lang_pred"
+        )
+
+    def q_fingerprint(spark, sf):
+        return T.fingerprint(_read(spark, sf, "documents")).select(
+            "doc_id", "fingerprint"
+        )
+
+    def q_ann(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        return S.cosine_topk(emb, k=5, queries=q)
+
+    def q_ann_lsh(spark, sf):  # rows-only (hash-bucketed approximate path)
+        emb = _read(spark, sf, "embeddings")
+        return S.lsh_cosine_topk(emb, k=5, num_planes=6)
+
+    return {
+        "cs_edges": q_cs_edges,
+        "degree_stats": q_degree_stats,
+        "connected_components": q_cc,
+        "pagerank": q_pagerank,
+        "label_propagation": q_lpa,
+        "triangle_total": q_tri_total,
+        "triangles_per_vertex": q_tri_vertex,
+        "edge_jaccard": q_jaccard,
+        "sparsify_topk": q_sparsify,
+        "vertex_following": q_vf,
+        "coarsen_nation": q_coarsen,
+        "modularity_nation": q_modularity,
+        "cluster_compare": q_compare,
+        "gini_nation": q_gini,
+        "louvain_communities": q_louvain,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash,
+        "simhash_buckets": q_simhash,
+        "token_count": q_tokens,
+        "quality_score": q_quality,
+        "language_id": q_langid,
+        "doc_fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann,
+        "ann_lsh_topk": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {}
+
+    sql["cs_edges"] = f"WITH {CS_EDGES_CTE.strip()} SELECT src, dst, weight FROM cs_edges"
+
+    sql["degree_stats"] = f"""
+WITH {CS_EDGES_CTE.strip()},
+deg AS (SELECT src AS v, count(*) AS od, sum(weight) AS wd FROM cs_edges GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS num_vertices,
+       CAST(min(od) AS BIGINT) AS min_degree,
+       CAST(max(od) AS BIGINT) AS max_degree,
+       round(avg(od), 6) AS avg_degree,
+       round(sum(wd), 6) AS total_weight_2m
+FROM deg
+"""
+
+    sql["connected_components"] = f"""
+WITH RECURSIVE {PARTS_EDGES_CTE.strip()},
+reach(v, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM parts_edges)
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN parts_edges e ON e.src = reach.v
+)
+SELECT v, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY v
+"""
+
+    sql["pagerank"] = _pagerank_sql(10, 0.85)
+    sql["label_propagation"] = _lpa_sql(3)
+
+    sql["triangle_total"] = f"""
+WITH {PARTS_EDGES_CTE.strip()},
+o AS (SELECT u, v FROM pp)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM o e1 JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+    sql["triangles_per_vertex"] = f"""
+WITH {PARTS_EDGES_CTE.strip()},
+o AS (SELECT u, v FROM pp),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM o e1 JOIN o e2 ON e1.v = e2.u JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS v FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+cnt AS (SELECT v, count(*) AS t FROM corners GROUP BY v)
+SELECT verts.v, CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+FROM (SELECT DISTINCT src AS v FROM parts_edges) verts
+LEFT JOIN cnt ON cnt.v = verts.v
+"""
+
+    sql["edge_jaccard"] = f"""
+WITH {PARTS_EDGES_CTE.strip()},
+e AS (SELECT src, dst FROM parts_edges),
+deg AS (SELECT src AS x, count(*) AS d FROM e GROUP BY 1),
+und AS (SELECT u, v FROM pp),
+inter AS (
+  SELECT und.u, und.v, count(*) AS ninter
+  FROM und
+  JOIN e a ON a.src = und.u
+  JOIN e b ON b.src = und.v AND b.dst = a.dst
+  GROUP BY 1, 2
+)
+SELECT und.u, und.v,
+       round(COALESCE(inter.ninter, 0)
+             / (du.d + dv.d - COALESCE(inter.ninter, 0)), 6) AS jaccard
+FROM und
+LEFT JOIN inter ON inter.u = und.u AND inter.v = und.v
+JOIN deg du ON du.x = und.u
+JOIN deg dv ON dv.x = und.v
+"""
+
+    sql["sparsify_topk"] = f"""
+WITH {PARTS_EDGES_CTE.strip()},
+e AS (SELECT src, dst FROM parts_edges),
+deg0 AS (SELECT src AS x, count(*) AS d FROM e GROUP BY 1),
+und AS (SELECT u, v FROM pp),
+inter AS (
+  SELECT und.u, und.v, count(*) AS ninter
+  FROM und JOIN e a ON a.src = und.u JOIN e b ON b.src = und.v AND b.dst = a.dst
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT und.u, und.v,
+         round(COALESCE(inter.ninter, 0)
+               / (du.d + dv.d - COALESCE(inter.ninter, 0)), 6) AS jaccard
+  FROM und
+  LEFT JOIN inter ON inter.u = und.u AND inter.v = und.v
+  JOIN deg0 du ON du.x = und.u
+  JOIN deg0 dv ON dv.x = und.v
+),
+bidir AS (
+  SELECT u, v, jaccard FROM jac
+  UNION ALL
+  SELECT v, u, jaccard FROM jac
+),
+dg AS (SELECT u, count(*) AS d FROM bidir GROUP BY 1),
+rk AS (
+  SELECT b.u, b.v, dg.d,
+         row_number() OVER (PARTITION BY b.u ORDER BY b.jaccard DESC, b.v ASC) AS rn
+  FROM bidir b JOIN dg ON dg.u = b.u
+)
+SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+FROM rk WHERE rn <= ceil(pow(d, 0.5))
+"""
+
+    sql["vertex_following"] = f"""
+WITH {CS_EDGES_CTE.strip()},
+deg AS (SELECT src AS v, count(*) AS d FROM cs_edges GROUP BY 1),
+onbr AS (
+  SELECT e.src AS v, max(e.dst) AS t
+  FROM cs_edges e JOIN deg ON deg.v = e.src AND deg.d = 1
+  GROUP BY 1
+),
+rep0 AS (
+  SELECT d.v,
+         CASE WHEN d.d = 1 AND o.t <> d.v AND (dt.d > 1 OR d.v > o.t)
+              THEN o.t ELSE d.v END AS rep
+  FROM deg d
+  LEFT JOIN onbr o ON o.v = d.v
+  LEFT JOIN deg dt ON dt.v = o.t
+),
+firsts AS (SELECT rep, min(v) AS mv FROM rep0 GROUP BY 1),
+dense AS (
+  SELECT rep, CAST(row_number() OVER (ORDER BY mv) - 1 AS BIGINT) AS nrep
+  FROM firsts
+)
+SELECT r.v, dense.nrep AS rep FROM rep0 r JOIN dense ON dense.rep = r.rep
+"""
+
+    sql["coarsen_nation"] = f"""
+WITH {CS_EDGES_CTE.strip()},
+{NATION_ASSIGN_CTE.strip()},
+folded AS (
+  SELECT a1.comm AS src, a2.comm AS dst, sum(e.weight) AS weight
+  FROM cs_edges e
+  JOIN assign a1 ON a1.v = e.src
+  JOIN assign a2 ON a2.v = e.dst
+  GROUP BY 1, 2
+),
+ph AS (SELECT DISTINCT comm AS src, comm AS dst, 0.0 AS weight FROM assign),
+uni AS (SELECT * FROM folded UNION ALL SELECT * FROM ph)
+SELECT src, dst, round(sum(weight), 6) AS weight FROM uni GROUP BY 1, 2
+"""
+
+    sql["modularity_nation"] = f"""
+WITH {CS_EDGES_CTE.strip()},
+{NATION_ASSIGN_CTE.strip()},
+twom AS (SELECT sum(weight) AS m2 FROM cs_edges),
+exx AS (
+  SELECT COALESCE(sum(e.weight), 0.0) AS e_xx
+  FROM cs_edges e
+  JOIN assign a1 ON a1.v = e.src
+  JOIN assign a2 ON a2.v = e.dst
+  WHERE a1.comm = a2.comm
+),
+deg AS (SELECT src AS v, sum(weight) AS wd FROM cs_edges GROUP BY 1),
+a2x AS (
+  SELECT sum(cd * cd) AS a2_x FROM (
+    SELECT a.comm, sum(d.wd) AS cd
+    FROM deg d JOIN assign a ON a.v = d.v
+    GROUP BY a.comm
+  )
+)
+SELECT round(e_xx / m2 - a2_x / (m2 * m2), 6) AS modularity
+FROM exx, a2x, twom
+"""
+
+    sql["cluster_compare"] = """
+WITH cont AS (
+  SELECT c_nationkey AS c1, c_mktsegment AS c2, CAST(count(*) AS DOUBLE) AS nij
+  FROM customer GROUP BY 1, 2
+),
+tp AS (SELECT sum(nij * (nij - 1) / 2) AS v FROM cont),
+rowp AS (SELECT sum(ni * (ni - 1) / 2) AS v FROM (SELECT sum(nij) AS ni FROM cont GROUP BY c1)),
+colp AS (SELECT sum(nj * (nj - 1) / 2) AS v FROM (SELECT sum(nij) AS nj FROM cont GROUP BY c2)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+SELECT n.n,
+       tp.v AS same_same,
+       rowp.v - tp.v AS same_diff,
+       colp.v - tp.v AS diff_same,
+       round(tp.v / NULLIF(colp.v, 0), 6) AS precision,
+       round(tp.v / NULLIF(rowp.v, 0), 6) AS recall,
+       round(2 * (tp.v / NULLIF(colp.v, 0)) * (tp.v / NULLIF(rowp.v, 0))
+             / NULLIF(tp.v / NULLIF(colp.v, 0) + tp.v / NULLIF(rowp.v, 0), 0), 6) AS fscore,
+       round(2.0 * ((rowp.v - tp.v) + (colp.v - tp.v)) / (CAST(n.n AS DOUBLE) * n.n), 9) AS mirkin
+FROM tp, rowp, colp, n
+"""
+
+    sql["gini_nation"] = """
+WITH sizes AS (
+  SELECT c_nationkey AS comm, CAST(count(*) AS DOUBLE) AS s
+  FROM customer GROUP BY 1
+),
+rk AS (
+  SELECT s, row_number() OVER (ORDER BY s, comm) AS i FROM sizes
+),
+agg AS (SELECT sum(i * s) AS ws, sum(s) AS tot, count(*) AS k FROM rk)
+SELECT round(2.0 * ws / (k * tot) - (k + 1.0) / k, 6) AS gini FROM agg
+"""
+
+    sql["dedup_exact"] = f"""
+SELECT md5({_NORM_SQL}) AS content_hash,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS ts FROM documents)
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(ninter / (sa.sz + sb.sz - ninter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(ninter / (sa.sz + sb.sz - ninter), 6) >= 0.3
+"""
+
+    sql["token_count"] = f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+    sql["quality_score"] = f"""
+SELECT doc_id,
+  round(
+    0.4 * least(len(regexp_extract_all(text, '{TOKEN_RE_SQL}')) / 100.0, 1.0)
+    + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1))
+    + 0.2 * least(len(regexp_extract_all(lower(text), '{_EN}')) / 10.0, 1.0)
+  , 6) AS quality
+FROM documents
+"""
+
+    sql["language_id"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_DE}')) AS c_de,
+         len(regexp_extract_all(lower(text), '{_EN}')) AS c_en,
+         len(regexp_extract_all(lower(text), '{_ES}')) AS c_es,
+         len(regexp_extract_all(lower(text), '{_FR}')) AS c_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+            WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+    sql["doc_fingerprint"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+    sql["ann_cosine_topk"] = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS qa, b.vec_id AS nb, sum(a.x * b.x) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qa AS query_id, nb AS neighbor_id,
+         round(dot / (na.nrm * nb2.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms na ON na.vec_id = qa
+  JOIN norms nb2 ON nb2.vec_id = nb
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM cos
+)
+SELECT query_id, neighbor_id, cosine FROM rk WHERE rn <= 5
+"""
+
+    return sql

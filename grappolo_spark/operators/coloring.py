@@ -1,0 +1,357 @@
+"""Distance-1 graph coloring + colored (Gauss-Seidel) Louvain sweeps.
+
+Three operators from the reference's Coloring/ module, re-expressed as
+iterative DataFrame rounds:
+
+1. ``distance_one_coloring`` — speculative greedy coloring
+   (Gebremedhin-Manne; reference `Coloring/coloringDistanceOne.cpp:50-233`):
+   rounds of {propose first-fit color vs finalized neighbors; detect
+   same-color conflicts among this round's proposals; loser requeued}.
+   The reference breaks conflicts by thread-random values; we use
+   ``xxhash64(v, seed)`` so the whole coloring is deterministic.
+
+2. ``multihash_coloring`` — Jones-Plassmann/Luby adaptation
+   (`Coloring/coloringMultiHashMaxMin.cpp:60-228`): per (round, hash) an
+   uncolored vertex that is the local max of the hash among uncolored
+   neighbors takes color ``2*(round*nhash+ih)``, a local min takes ``+1``;
+   leftovers after ``nrounds`` get the max color (incomplete coloring).
+
+3. ``louvain_one_phase_colored`` — one Louvain level processed one color
+   class at a time (`Coloring/parallelLouvainWithColoring.cpp:158-218`):
+   vertices in a class are pairwise non-adjacent, so within-class moves are
+   conflict-free and community state is refreshed between classes —
+   Gauss-Seidel convergence with deterministic parallelism, the heuristic
+   the north_star names. Modularity is recomputed by a full edge scan after
+   each sweep (`:230-246`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from grappolo_spark.graph import Graph
+from grappolo_spark.operators.louvain import LouvainPhaseResult
+from grappolo_spark.plans.iteration import cut_lineage
+
+_MEX = """
+aggregate(
+  sort_array(array_distinct(filter({arr}, x -> x >= 0))),
+  0,
+  (acc, x) -> CASE WHEN x = acc THEN acc + 1 ELSE acc END
+)
+"""
+
+
+def distance_one_coloring(
+    g: Graph, seed: int = 12345, max_rounds: int = 100
+) -> DataFrame:
+    """Return (v, color) with no two adjacent vertices sharing a color."""
+    pairs = (
+        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ).persist()
+    colors = g.vertex_ids().select("v", F.lit(None).cast("int").alias("color"))
+    colors = cut_lineage(colors, tag="coloring")
+
+    for _ in range(max_rounds):
+        pending = colors.filter(F.col("color").isNull()).select("v")
+        n_pending = pending.count()
+        if n_pending == 0:
+            break
+        # propose: first-fit against finalized neighbor colors
+        nbr_colors = (
+            pairs.join(
+                colors.filter(F.col("color").isNotNull()).select(
+                    F.col("v").alias("dst"), F.col("color").alias("ncolor")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.collect_set("ncolor").alias("ncolors"))
+        )
+        proposals = (
+            pending.join(nbr_colors, "v", "left")
+            .select(
+                "v",
+                F.expr(_MEX.format(arr="coalesce(ncolors, array())"))
+                .cast("int")
+                .alias("proposal"),
+            )
+        )
+        # conflicts among this round's proposals: same color across an edge;
+        # loser = smaller (hash, id) — deterministic stand-in for the
+        # reference's random tie-break (`coloringUtils.cpp:70-96`)
+        p_src = proposals.select(
+            F.col("v").alias("src"), F.col("proposal").alias("p_src")
+        )
+        p_dst = proposals.select(
+            F.col("v").alias("dst"), F.col("proposal").alias("p_dst")
+        )
+        losers = (
+            pairs.join(p_src, "src")
+            .join(p_dst, "dst")
+            .filter(F.col("p_src") == F.col("p_dst"))
+            .filter(
+                F.struct(
+                    F.xxhash64(F.col("src"), F.lit(seed)).alias("h"),
+                    F.col("src").alias("i"),
+                )
+                < F.struct(
+                    F.xxhash64(F.col("dst"), F.lit(seed)).alias("h"),
+                    F.col("dst").alias("i"),
+                )
+            )
+            .select(F.col("src").alias("v"))
+            .distinct()
+        )
+        winners = proposals.join(losers, "v", "left_anti")
+        colors = (
+            colors.join(winners, "v", "left")
+            .select("v", F.coalesce("color", "proposal").alias("color"))
+        )
+        colors = cut_lineage(colors, tag="coloring")
+    return colors
+
+
+def multihash_coloring(
+    g: Graph, nhash: int = 2, nrounds: int = 4, seed: int = 999
+) -> DataFrame:
+    """Bounded-palette JP coloring; may leave a shared overflow color."""
+    pairs = (
+        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ).persist()
+    colors = g.vertex_ids().select("v", F.lit(None).cast("int").alias("color"))
+    colors = cut_lineage(colors, tag="coloring_mh")
+    max_color = 2 * nhash * nrounds
+
+    for itr in range(nrounds):
+        for ih in range(nhash):
+            unc = colors.filter(F.col("color").isNull()).select("v")
+            if unc.count() == 0:
+                break
+            h = lambda c: F.xxhash64(c, F.lit(seed + ih))  # noqa: E731
+            u_src = unc.select(F.col("v").alias("src"))
+            u_dst = unc.select(F.col("v").alias("dst"))
+            live = pairs.join(u_src, "src").join(u_dst, "dst")
+            ext = (
+                live.groupBy("src")
+                .agg(
+                    F.max(h(F.col("dst"))).alias("nmax"),
+                    F.min(h(F.col("dst"))).alias("nmin"),
+                )
+            )
+            newc = (
+                unc.join(ext, unc.v == ext.src, "left")
+                .select(
+                    "v",
+                    F.when(
+                        F.col("nmax").isNull() | (h(F.col("v")) > F.col("nmax")),
+                        F.lit(2 * (itr * nhash + ih)),
+                    )
+                    .when(
+                        h(F.col("v")) < F.col("nmin"),
+                        F.lit(2 * (itr * nhash + ih) + 1),
+                    )
+                    .alias("newcolor"),
+                )
+            )
+            colors = (
+                colors.join(newc, "v", "left")
+                .select("v", F.coalesce("color", "newcolor").alias("color"))
+            )
+            colors = cut_lineage(colors, tag="coloring_mh")
+    # leftovers share the max color (incomplete — as in the reference)
+    return colors.select(
+        "v", F.coalesce("color", F.lit(max_color)).cast("int").alias("color")
+    )
+
+
+def verify_coloring(g: Graph, colors: DataFrame) -> int:
+    """#conflicting edges (reference self-check `coloringDistanceOne.cpp:206-226`)."""
+    c_src = colors.select(F.col("v").alias("src"), F.col("color").alias("c1"))
+    c_dst = colors.select(F.col("v").alias("dst"), F.col("color").alias("c2"))
+    return (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .join(c_src, "src")
+        .join(c_dst, "dst")
+        .filter(F.col("c1") == F.col("c2"))
+        .count()
+    )
+
+
+def color_histogram(colors: DataFrame) -> DataFrame:
+    """Color-class sizes (reference ``buildColorSize``,
+    `Coloring/equitableColoringDistanceOne.cpp:48-56`)."""
+    return colors.groupBy("color").agg(F.count(F.lit(1)).alias("size"))
+
+
+def louvain_one_phase_colored(
+    g: Graph,
+    thresh: float = 0.01,
+    lower: float = -1.0,
+    max_iters: int = 100,
+    num_colors_cap: int = 1024,
+    run_dir: str | None = None,
+) -> LouvainPhaseResult:
+    """One Louvain level, sweeping color classes sequentially.
+
+    Same gain/tie-break/swap math as the plain kernel; community info is
+    refreshed after each color class, so vertices in later classes see
+    earlier classes' moves within the same iteration (Gauss-Seidel).
+    """
+    spark = g.edges.sparkSession
+    colors = distance_one_coloring(g)
+    classes = [
+        r.color
+        for r in colors.select("color").distinct().orderBy("color").collect()
+    ][:num_colors_cap]
+
+    edges = g.edges.persist()
+    vdeg = g.degrees().select("v", "deg").persist()
+    two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    if two_m == 0.0:
+        empty = spark.createDataFrame([], "v long, comm long")
+        return LouvainPhaseResult(empty, 0.0, 0)
+    const = 1.0 / two_m
+    selfw = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("weight").alias("selfloop"))
+    )
+
+    # one combined per-vertex state table: (v, comm, deg, selfloop, color)
+    state = (
+        vdeg.join(selfw, "v", "left")
+        .join(colors, "v")
+        .select(
+            "v",
+            F.col("v").alias("comm"),
+            "deg",
+            F.coalesce("selfloop", F.lit(0.0)).alias("selfloop"),
+            "color",
+        )
+    )
+    state = cut_lineage(state, tag="colored_state")
+
+    prev_mod = -1.0
+    prev_assign = state.select("v", "comm")
+    num_itrs = 0
+
+    for it in range(max_iters):
+        num_itrs = it + 1
+        for cls in classes:
+            cinfo = state.groupBy("comm").agg(
+                F.sum("deg").alias("cdeg"), F.count(F.lit(1)).alias("csize")
+            )
+            a_dst = state.select(
+                F.col("v").alias("dst"), F.col("comm").alias("comm_dst")
+            )
+            movers = state.filter(F.col("color") == cls)
+            counter = (
+                edges.join(
+                    movers.select(F.col("v").alias("src")), "src"
+                )
+                .join(a_dst, "dst")
+                .groupBy(F.col("src").alias("v"), F.col("comm_dst").alias("cand"))
+                .agg(F.sum("weight").alias("wsum"))
+            )
+            cur = (
+                movers.join(
+                    cinfo.select(
+                        "comm",
+                        F.col("cdeg").alias("cdeg_cur"),
+                        F.col("csize").alias("csize_cur"),
+                    ),
+                    "comm",
+                )
+                .join(
+                    counter.alias("c"),
+                    (F.col("c.v") == movers.v) & (F.col("c.cand") == F.col("comm")),
+                    "left",
+                )
+                .select(
+                    movers.v.alias("v"), "comm", "deg", "selfloop",
+                    "cdeg_cur", "csize_cur",
+                    F.coalesce("wsum", F.lit(0.0)).alias("w_own"),
+                )
+            )
+            cand = (
+                counter.join(cur, "v")
+                .filter(F.col("cand") != F.col("comm"))
+                .join(
+                    cinfo.select(
+                        F.col("comm").alias("cand"),
+                        F.col("cdeg").alias("ay"),
+                        F.col("csize").alias("csize_cand"),
+                    ),
+                    "cand",
+                )
+                .withColumn("eix", F.col("w_own") - F.col("selfloop"))
+                .withColumn("ax", F.col("cdeg_cur") - F.col("deg"))
+                .withColumn(
+                    "gain",
+                    2.0 * (F.col("wsum") - F.col("eix"))
+                    - 2.0 * F.col("deg") * (F.col("ay") - F.col("ax")) * F.lit(const),
+                )
+                .filter(F.col("gain") > 0)
+            )
+            w = Window.partitionBy("v").orderBy(F.desc("gain"), F.asc("cand"))
+            best = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .withColumn(
+                    "blocked",
+                    (F.col("csize_cand") == 1)
+                    & (F.col("csize_cur") == 1)
+                    & (F.col("cand") > F.col("v")),
+                )
+                .select("v", "cand", "blocked")
+            )
+            state = (
+                state.join(best, "v", "left")
+                .select(
+                    "v",
+                    F.when(
+                        F.col("cand").isNotNull() & ~F.col("blocked"), F.col("cand")
+                    )
+                    .otherwise(F.col("comm"))
+                    .alias("comm"),
+                    "deg", "selfloop", "color",
+                )
+            )
+            state = cut_lineage(state, tag="colored_state")
+        assign = state.select("v", "comm")
+
+        # full-scan modularity after the sweep (`parallelLouvainWithColoring.cpp:230-246`)
+        # — one combined action: e_xx and a2_x cross-joined scalar aggs
+        a_src = assign.select(F.col("v").alias("src"), F.col("comm").alias("cs"))
+        a_dst = assign.select(F.col("v").alias("dst"), F.col("comm").alias("cd"))
+        exx_df = (
+            edges.join(a_src, "src").join(a_dst, "dst")
+            .filter(F.col("cs") == F.col("cd"))
+            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
+        )
+        a2_df = (
+            assign.join(vdeg, "v").groupBy("comm").agg(F.sum("deg").alias("cdeg"))
+            .agg(F.coalesce(F.sum(F.col("cdeg") * F.col("cdeg")), F.lit(0.0)).alias("a2_x"))
+        )
+        stats = exx_df.crossJoin(a2_df).collect()[0]
+        curr_mod = stats["e_xx"] * const - stats["a2_x"] * const * const
+        if (curr_mod - prev_mod) < thresh:
+            break
+        prev_mod = curr_mod if curr_mod > lower else lower
+        # re-cut to a dedicated tag: prev_assign must outlive a whole sweep
+        # (len(classes) colored_state cuts) without being GC'd
+        prev_assign = cut_lineage(assign, tag="colored_prev", keep_last=2)
+
+    edges.unpersist()
+    vdeg.unpersist()
+    prev_assign = cut_lineage(
+        prev_assign.select("v", "comm"), tag="result", keep_last=64
+    )
+    return LouvainPhaseResult(
+        assignment=prev_assign.select("v", "comm"),
+        modularity=prev_mod,
+        iterations=num_itrs,
+    )

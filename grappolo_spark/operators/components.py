@@ -77,7 +77,7 @@ def connected_components(
         start, resumed = runner.resume()
         if resumed is not None:
             pairs = resumed
-        pairs = cut_lineage(pairs)
+        pairs = cut_lineage(pairs, tag="cc_pairs")
         prev = _checksum(pairs)
         for step in range(start, max_iters):
             pairs = _small_star(_large_star(pairs))
@@ -96,7 +96,7 @@ def connected_components(
         )
     elif method == "label_prop":
         labels = g.vertex_ids().select("v", F.col("v").alias("component"))
-        labels = cut_lineage(labels)
+        labels = cut_lineage(labels, tag="cc_labels")
         for step in range(max_iters):
             nbr_min = (
                 pairs.join(labels, pairs.v == labels.v)
@@ -113,7 +113,7 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-            new = cut_lineage(new)
+            new = cut_lineage(new, tag="cc_labels")
             changed = (
                 new.alias("n")
                 .join(labels.alias("o"), "v")
@@ -128,7 +128,7 @@ def connected_components(
 
     # attach isolated vertices (their own component)
     all_v = g.vertex_ids()
-    return (
-        all_v.join(labels, "v", "left")
-        .select("v", F.coalesce("component", F.col("v")).alias("component"))
+    out = all_v.join(labels, "v", "left").select(
+        "v", F.coalesce("component", F.col("v")).alias("component")
     )
+    return cut_lineage(out, tag="result", keep_last=64)

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from grappolo_spark.graph import Graph
-from grappolo_spark.plans.iteration import SuperstepRunner
+from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
 
 
 def label_propagation(
@@ -35,7 +35,7 @@ def label_propagation(
         if resumed is not None
         else g.vertex_ids().select("v", F.col("v").alias("label"))
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = cut_lineage(labels, tag="lpa")
 
     for step in range(start, max_iters):
         freq = (
@@ -50,7 +50,7 @@ def label_propagation(
         new = labels.join(best, labels.v == best.vv, "left").select(
             "v", F.coalesce("new_label", F.col("label")).alias("label")
         )
-        new = new.localCheckpoint(eager=True)
+        new = cut_lineage(new, tag="lpa")
         if stop_on_converge:
             changed = (
                 new.alias("n")
@@ -63,4 +63,4 @@ def label_propagation(
             break
 
     pairs.unpersist()
-    return labels
+    return cut_lineage(labels, tag="result", keep_last=64)

