@@ -207,7 +207,7 @@ def louvain_one_phase_colored(
         for r in colors.select("color").distinct().orderBy("color").collect()
     ][:num_colors_cap]
 
-    edges = g.edges.persist()
+    edges = g.edges.repartition("dst").persist()
     vdeg = g.degrees().select("v", "deg").persist()
     two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
     if two_m == 0.0:
@@ -355,3 +355,107 @@ def louvain_one_phase_colored(
         modularity=prev_mod,
         iterations=num_itrs,
     )
+
+
+def equitable_rebalance(
+    g: Graph,
+    colors: DataFrame,
+    num_colors: int,
+    strategy: str = "first_fit",
+    max_rounds: int = 20,
+    seed: int = 321,
+) -> DataFrame:
+    """Rebalance color classes toward ~NV/num_colors vertices each.
+
+    Reference ``equitableDistanceOneColorBased``
+    (`Coloring/equitableColoringDistanceOne.cpp:90-253`) + the vBase
+    redistribution variants (`Coloring/vBase.cpp:6-169`): vertices in
+    over-full classes move to a permissible (conflict-free) under-full
+    class — smallest such color for ``first_fit``, least-populated for
+    ``least_used``. Rounds repeat until balanced or no move is possible;
+    cross-move conflicts are resolved with the same deterministic hash rule
+    as distance_one_coloring.
+    """
+    import math
+
+    pairs = (
+        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ).persist()
+    nv = colors.count()
+    cap = math.ceil(nv / num_colors)
+    colors = cut_lineage(colors, tag="equitable")
+
+    for _ in range(max_rounds):
+        spark = colors.sparkSession
+        palette = spark.range(num_colors).select(F.col("id").cast("int").alias("color"))
+        sizes = palette.join(
+            colors.groupBy("color").agg(F.count(F.lit(1)).alias("s")), "color", "left"
+        ).select("color", F.coalesce("s", F.lit(0)).alias("size"))
+        over = sizes.filter(F.col("size") > cap)
+        if over.isEmpty():
+            break
+        under = sizes.filter(F.col("size") < cap).withColumnRenamed("color", "ucolor")
+        if under.isEmpty():
+            break
+        # movable: excess vertices of over-full classes (largest ids move,
+        # a deterministic stand-in for the reference's arbitrary thread order)
+        ranked = colors.join(over, "color").select(
+            "v",
+            "color",
+            F.row_number()
+            .over(Window.partitionBy("color").orderBy(F.desc("v")))
+            .alias("rn"),
+            (F.col("size") - F.lit(cap)).alias("excess"),
+        )
+        movable = ranked.filter(F.col("rn") <= F.col("excess")).select("v")
+        # forbidden colors per movable vertex = neighbor colors
+        nbrc = (
+            pairs.join(movable.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(
+                colors.select(F.col("v").alias("dst"), F.col("color").alias("nc")),
+                "dst",
+            )
+            .select(F.col("src").alias("v"), "nc")
+            .distinct()
+        )
+        cand = (
+            movable.crossJoin(under.select("ucolor", "size"))
+            .join(
+                nbrc,
+                (movable.v == nbrc.v) & (F.col("ucolor") == F.col("nc")),
+                "left_anti",
+            )
+        )
+        if strategy == "least_used":
+            w = Window.partitionBy("v").orderBy(F.asc("size"), F.asc("ucolor"))
+        else:
+            w = Window.partitionBy("v").orderBy(F.asc("ucolor"))
+        picks = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("v", F.col("ucolor").alias("newcolor"))
+        )
+        if picks.isEmpty():
+            break
+        # adjacent movers choosing the same class: loser (smaller hash,id) reverts
+        p_src = picks.select(F.col("v").alias("src"), F.col("newcolor").alias("cs"))
+        p_dst = picks.select(F.col("v").alias("dst"), F.col("newcolor").alias("cd"))
+        losers = (
+            pairs.join(p_src, "src")
+            .join(p_dst, "dst")
+            .filter(F.col("cs") == F.col("cd"))
+            .filter(
+                F.struct(F.xxhash64("src", F.lit(seed)).alias("h"), F.col("src").alias("i"))
+                < F.struct(F.xxhash64("dst", F.lit(seed)).alias("h"), F.col("dst").alias("i"))
+            )
+            .select(F.col("src").alias("v"))
+            .distinct()
+        )
+        winners = picks.join(losers, "v", "left_anti")
+        colors = (
+            colors.join(winners, "v", "left")
+            .select("v", F.coalesce("newcolor", "color").cast("int").alias("color"))
+        )
+        colors = cut_lineage(colors, tag="equitable")
+    pairs.unpersist()
+    return colors

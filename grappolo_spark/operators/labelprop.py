@@ -26,7 +26,7 @@ def label_propagation(
     """Return ``(v, label)``; isolated vertices keep their own id."""
     spark = g.edges.sparkSession
     pairs = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "weight")
-    pairs = pairs.persist()
+    pairs = pairs.repartition("dst").persist()
 
     runner = SuperstepRunner(spark, run_dir)
     start, resumed = runner.resume()

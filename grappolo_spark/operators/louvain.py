@@ -88,6 +88,8 @@ def louvain_one_phase(
     init_assign: DataFrame | None = None,
     sample_fraction: float | None = None,
     seed: int = 12345,
+    early_terminate: bool = False,
+    ftr_phase: int | None = None,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """Run one modularity-optimization level to its convergence threshold.
@@ -96,16 +98,36 @@ def louvain_one_phase(
     `parallelLouvainMethodInitialized.cpp:106-112`). ``sample_fraction``
     reproduces the Approx kernel's behavior
     (`parallelLouvainMethodApprox.cpp:139-155`): only a seeded random subset
-    of vertices may move each iteration.
+    of vertices may move each iteration. ``early_terminate`` skips vertices
+    whose community was unchanged over the last two iterations — the
+    delta-iteration form of `parallelLouvianMethodEarlyTerminate.cpp:114,192`
+    (the gather, the expensive stage, shrinks to the active set; modularity
+    is then computed by a full edge scan so Q stays exact, unlike the
+    reference's processed-only accounting — documented divergence).
+    ``ftr_phase`` enables the Fast-Track-Resistance exit (Granell/Gomez/
+    Arenas resolution-limit fix) for phases > 1: r_min and Q_AFG per
+    `parallelLouvainMethodFastTrackResistance.cpp:193-239`, stop when
+    Q_AFG == 0, 200-iteration cap (`:263-267`).
+
+    Works unchanged on directed graphs (``Graph(directed=True)``, edges not
+    symmetrized): vdeg becomes the out-degree and the constant 1/sum(w) is
+    doubled to 1/m as in `parallelDirectedLouvainMethod.cpp:103-105`.
     """
     spark = g.edges.sparkSession
-    edges = g.edges.persist()
+    # hash-partition the edge table on the gather key ONCE: every superstep's
+    # edges-join-assignment then reuses the layout (no per-iteration edge
+    # shuffle; measured 1.8x on sf0.1)
+    edges = g.edges.repartition("dst").persist()
     vdeg = g.degrees().select("v", "deg").persist()
     two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
     if two_m == 0.0:
         empty = spark.createDataFrame([], "v long, comm long")
         return LouvainPhaseResult(empty, 0.0, 0)
     const = 1.0 / two_m
+    if g.directed:
+        # directed modularity: constant = 1/m (reference doubles the
+        # 1/sum(outDegree) constant, `parallelDirectedLouvainMethod.cpp:103-105`)
+        const *= 2.0
 
     selfw = (
         edges.filter(F.col("src") == F.col("dst"))
@@ -128,9 +150,22 @@ def louvain_one_phase(
         prev_assign = assign
         prev_mod = -1.0
 
+    hist1 = hist2 = None  # last two assignments (early-termination filter)
     num_itrs = start
     for step in range(start, max_iters):
         num_itrs = step + 1
+        # --- active set (early termination) --------------------------------
+        active_src = None
+        if early_terminate and hist1 is not None and hist2 is not None:
+            stable = (
+                assign.join(hist1.withColumnRenamed("comm", "c1"), "v")
+                .join(hist2.withColumnRenamed("comm", "c2"), "v")
+                .filter((F.col("comm") == F.col("c1")) & (F.col("c1") == F.col("c2")))
+                .select("v")
+            )
+            active_src = assign.join(stable, "v", "left_anti").select(
+                F.col("v").alias("src")
+            )
         # --- cinfo of the current assignment ------------------------------
         cinfo = (
             assign.join(vdeg, "v")
@@ -142,8 +177,13 @@ def louvain_one_phase(
         a_dst = assign.select(
             F.col("v").alias("dst"), F.col("comm").alias("comm_dst")
         )
+        gather_edges = (
+            edges.join(active_src, "src", "left_semi")
+            if active_src is not None
+            else edges
+        )
         counter = (
-            edges.join(a_dst, "dst")
+            gather_edges.join(a_dst, "dst")
             .groupBy(F.col("src").alias("v"), F.col("comm_dst").alias("cand"))
             .agg(F.sum("weight").alias("wsum"))
         ).persist()
@@ -176,16 +216,47 @@ def louvain_one_phase(
         ).persist()
 
         # --- modularity of the pre-move assignment (one combined action) ---
+        if active_src is not None:
+            a_src_m = assign.select(
+                F.col("v").alias("src"), F.col("comm").alias("comm_src")
+            )
+            exx_df = (
+                edges.join(a_src_m, "src")
+                .join(a_dst, "dst")
+                .filter(F.col("comm_src") == F.col("comm_dst"))
+                .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
+            )
+        else:
+            exx_df = cur.agg(F.sum("w_own").alias("e_xx"))
         stats = (
-            cur.agg(F.sum("w_own").alias("e_xx"))
-            .crossJoin(cinfo.agg(F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x")))
+            exx_df
+            .crossJoin(
+                cinfo.agg(
+                    F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x"),
+                    F.sum(F.col("csize") * F.col("csize")).alias("n_c2"),
+                    F.sum("csize").alias("nv"),
+                )
+            )
             .collect()[0]
         )
         e_xx = stats["e_xx"] or 0.0
         a2_x = stats["a2_x"] or 0.0
         curr_mod = e_xx * const - a2_x * const * const
 
-        stop = (curr_mod - prev_mod) < thresh
+        if ftr_phase is not None and ftr_phase > 1:
+            # Fast-Track-Resistance exit (phase > 1): optimal when Q_AFG == 0
+            nv = float(stats["nv"])
+            w_2 = 1.0 / const
+            nd = nv - (stats["n_c2"] or 0.0) / nv
+            r_min = (-w_2 / nd) * curr_mod if nd else 0.0
+            q_afg = (
+                (w_2 * curr_mod + r_min * nd) / (w_2 - nv * r_min)
+                if (w_2 - nv * r_min)
+                else 0.0
+            )
+            stop = (q_afg == 0) or (step + 1 > 200)
+        else:
+            stop = (curr_mod - prev_mod) < thresh
         metrics = {
             "op": "louvain",
             "e_xx": e_xx,
@@ -253,6 +324,8 @@ def louvain_one_phase(
 
         prev_mod = curr_mod if curr_mod > lower else lower
         prev_assign = assign
+        hist2 = hist1
+        hist1 = assign
         assign = runner.commit(step, new_assign, dict(metrics, prev_mod=prev_mod))
         cinfo.unpersist()
         counter.unpersist()

@@ -111,6 +111,8 @@ def louvain(
     num_colors_cap: int = 1024,
     vertex_following: bool = False,
     sample_fraction: float | None = None,
+    early_terminate: bool = False,
+    fast_track_resistance: bool = False,
     run_dir: str | None = None,
 ) -> LouvainResult:
     """Full multi-phase Louvain (flagship query — reference entry point
@@ -165,6 +167,8 @@ def louvain(
             res = louvain_one_phase(
                 cur_g, thresh=phase_thresh, lower=curr_mod,
                 sample_fraction=sample_fraction,
+                early_terminate=early_terminate,
+                ftr_phase=phase if fast_track_resistance else None,
                 run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
             )
         curr_mod = res.modularity

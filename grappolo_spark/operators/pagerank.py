@@ -43,6 +43,8 @@ def pagerank(
         "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
     )
     base = base.persist()
+    # persist as-is: callers co-locate via Graph.partition_by_src (the join
+    # key here), and an already-partitioned cache is reused without shuffle
     edges = g.edges.persist()
 
     runner = SuperstepRunner(spark, run_dir)
@@ -54,11 +56,17 @@ def pagerank(
         start = 0
     ranks = cut_lineage(ranks, tag="pagerank")
 
+    # symmetrized graphs have no dangling vertices: check once, not per
+    # superstep (saves one Spark job per iteration)
+    has_dangling = base.filter(F.col("wout") == 0.0).limit(1).count() > 0
+
     for step in range(start, max_iters):
-        dangling = (
-            ranks.filter(F.col("wout") == 0.0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.filter(F.col("wout") == 0.0).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
         contribs = (
             edges.join(ranks, edges.src == ranks.v)
             .select(
