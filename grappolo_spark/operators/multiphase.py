@@ -111,6 +111,7 @@ def louvain(
     num_colors_cap: int = 1024,
     vertex_following: bool = False,
     sample_fraction: float | None = None,
+    seed: int = 12345,
     early_terminate: bool = False,
     fast_track_resistance: bool = False,
     run_dir: str | None = None,
@@ -167,6 +168,7 @@ def louvain(
             res = louvain_one_phase(
                 cur_g, thresh=phase_thresh, lower=curr_mod,
                 sample_fraction=sample_fraction,
+                seed=seed,
                 early_terminate=early_terminate,
                 ftr_phase=phase if fast_track_resistance else None,
                 run_dir=f"{run_dir}/phase{phase}" if run_dir else None,

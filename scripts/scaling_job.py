@@ -1,0 +1,146 @@
+"""One scaling-measurement job: PageRank supersteps over a large synthetic graph.
+
+Synthesizes a deterministic pseudo-random graph with spark.range + xxhash64
+(no external data, no driver-side generation), builds the canonical
+symmetrized edge table, then times a fixed number of PageRank supersteps —
+the workload behind BASELINE.md's "edges/sec per superstep" metric. The
+graph is large enough (default ~2^20 vertices x 16 avg degree -> ~30M edge
+rows) that compute, not job-scheduling overhead, dominates; shuffle
+partitions are FIXED across core counts so both runs execute identical
+plans (strong scaling, only parallelism varies).
+
+Prints one JSON line. Invoked by scripts/scaling_bench.py at two core counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--vertices", type=int, default=1 << 20)
+    ap.add_argument("--avg-degree", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--workload", default="pagerank", choices=["pagerank", "ann"])
+    ap.add_argument("--ann-rows", type=int, default=6000)
+    ap.add_argument("--ann-dim", type=int, default=128)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from grappolo_spark.graph import Graph
+    from grappolo_spark.operators.pagerank import pagerank
+    from grappolo_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.partitions,
+        # pin JVM GC parallelism to the core budget: otherwise the "8-core"
+        # run borrows the machine's idle cores for GC and the strong-scaling
+        # comparison is unfair to the 4N run
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ParallelGCThreads={args.cpus} "
+                f"-XX:ConcGCThreads={max(1, args.cpus // 4)}"
+            )
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.workload == "ann":
+        # compute-bound kernel: brute-force cosine top-k over synthetic
+        # embeddings — FLOP-dense per byte, so per-core compute (not shared
+        # memory bandwidth) dominates; complements the bandwidth-bound
+        # pagerank workload for the strong-scaling evidence
+        from grappolo_spark.functions.similarity import cosine_topk
+
+        dims = [
+            (
+                F.pmod(F.xxhash64("id", F.lit(args.seed + d)), F.lit(2000)).cast("float")
+                / 1000.0
+                - 1.0
+            ).alias(f"x{d}")
+            for d in range(args.ann_dim)
+        ]
+        emb = (
+            spark.range(args.ann_rows)
+            .select(F.col("id").alias("vec_id"), *dims)
+            .select(
+                "vec_id",
+                F.array(*[f"x{d}" for d in range(args.ann_dim)]).alias("embedding"),
+            )
+            .repartition(args.partitions)
+            .persist()
+        )
+        n_rows = emb.count()
+        t0 = time.time()
+        out = cosine_topk(emb, k=5, queries=emb.filter(F.col("vec_id") % 4 == 0))
+        n_out = out.count()
+        dt = time.time() - t0
+        pairs = (n_rows // 4) * (n_rows - 1)
+        print(
+            json.dumps(
+                {
+                    "cpus": args.cpus,
+                    "workload": "ann",
+                    "rows": n_rows,
+                    "pairs_scored": pairs,
+                    "topk_rows": n_out,
+                    "seconds": round(dt, 3),
+                    "pairs_per_sec": round(pairs / dt, 1),
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+        return 0
+
+    n = args.vertices
+    raw = (
+        spark.range(n * args.avg_degree)
+        .select(
+            (F.pmod(F.xxhash64("id", F.lit(args.seed)), F.lit(n))).alias("src"),
+            (F.pmod(F.xxhash64("id", F.lit(args.seed + 1)), F.lit(n))).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    g = Graph.from_edgelist(raw)
+    edges = g.edges.repartition(args.partitions, "src").persist()
+    n_edges = edges.count()  # materialize the build outside the timed window
+    g = Graph(edges=edges)
+
+    t0 = time.time()
+    pr = pagerank(g, max_iters=args.iters, lineage_cut_every=3)
+    n_ranks = pr.count()
+    dt = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "edges": n_edges,
+                "vertices": n_ranks,
+                "iters": args.iters,
+                "seconds": round(dt, 3),
+                "edges_per_sec_superstep": round(n_edges * args.iters / dt, 1),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
