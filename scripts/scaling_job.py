@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -103,7 +104,7 @@ def main() -> int:
             flush=True,
         )
         spark.stop()
-        return 0
+        os._exit(0)  # JVM/py4j threads linger in this sandbox; exit hard
 
     n = args.vertices
     raw = (
@@ -139,7 +140,7 @@ def main() -> int:
         flush=True,
     )
     spark.stop()
-    return 0
+    os._exit(0)  # JVM/py4j threads linger in this sandbox; exit hard
 
 
 if __name__ == "__main__":
