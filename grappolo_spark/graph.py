@@ -20,7 +20,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-from pyspark.sql.window import Window
 
 EDGE_SCHEMA = StructType(
     [
@@ -84,21 +83,25 @@ def densify_ids(
     is isomorphic, labels differ by a fixed permutation).
 
     Returns (vertex_map(ext_id, v), densified pairs).
+
+    Scale notes: the ranking is the distributed partition-offset form
+    (``plans.ranking.dense_rank_ids``), not a single-partition global
+    window, and the map join is left to AQE (a billions-of-vertices map
+    must degrade to a shuffle join, not OOM on a forced broadcast).
     """
+    from grappolo_spark.plans.ranking import dense_rank_ids
+
     ids = (
         pairs.select(F.col(src).alias("ext_id"))
         .union(pairs.select(F.col(dst).alias("ext_id")))
         .distinct()
     )
-    w = Window.orderBy("ext_id")
-    vertex_map = ids.select(
-        "ext_id", (F.row_number().over(w) - F.lit(1)).cast("long").alias("v")
-    )
+    vertex_map, _ = dense_rank_ids(ids, "ext_id", out="v")
     sm = vertex_map.withColumnRenamed("ext_id", "_s").withColumnRenamed("v", "_sv")
     dm = vertex_map.withColumnRenamed("ext_id", "_d").withColumnRenamed("v", "_dv")
     dense = (
-        pairs.join(F.broadcast(sm), pairs[src] == sm["_s"])
-        .join(F.broadcast(dm), pairs[dst] == dm["_d"])
+        pairs.join(sm, pairs[src] == sm["_s"])
+        .join(dm, pairs[dst] == dm["_d"])
         .select(
             F.col("_sv").alias(src),
             F.col("_dv").alias(dst),
@@ -167,7 +170,10 @@ class Graph:
         d = self.edges.groupBy(F.col("src").alias("v")).agg(
             F.sum("weight").alias("deg"), F.count(F.lit(1)).alias("out_degree")
         )
-        if self.vertices is not None:
+        # symmetrized graphs list every non-isolated vertex as src; directed
+        # graphs have pure sinks (in-edges only) that groupBy(src) misses —
+        # without this they'd silently drop out of Louvain/PageRank state
+        if self.vertices is not None or self.directed:
             d = (
                 self.vertex_ids()
                 .join(d, "v", "left")

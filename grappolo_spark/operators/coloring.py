@@ -202,10 +202,28 @@ def louvain_one_phase_colored(
     """
     spark = g.edges.sparkSession
     colors = distance_one_coloring(g)
-    classes = [
+    all_colors = [
         r.color
         for r in colors.select("color").distinct().orderBy("color").collect()
-    ][:num_colors_cap]
+    ]
+    if len(all_colors) > num_colors_cap:
+        # hub graphs can exceed the palette cap (reference bounds colors by
+        # MaxDegree, `runMultiPhaseColoring.cpp:68-87`); rather than freeze
+        # the overflow vertices, merge all colors past the cap into ONE
+        # final class — within it vertices may be adjacent, so that
+        # sub-sweep is Jacobi (simultaneous moves vs the current state,
+        # exactly the plain kernel's semantics); every vertex stays eligible
+        overflow_from = all_colors[num_colors_cap - 1]
+        colors = colors.select(
+            "v",
+            F.when(F.col("color") >= overflow_from, F.lit(overflow_from))
+            .otherwise(F.col("color"))
+            .cast("int")
+            .alias("color"),
+        )
+        classes = all_colors[: num_colors_cap - 1] + [overflow_from]
+    else:
+        classes = all_colors
 
     edges = g.edges.repartition("dst").persist()
     vdeg = g.degrees().select("v", "deg").persist()
@@ -301,10 +319,12 @@ def louvain_one_phase_colored(
                 cand.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .withColumn(
+                    # swap protection vs the CURRENT COMMUNITY id (maxIndex
+                    # > sc, `utilityClusteringFunctions.cpp:254-256`)
                     "blocked",
                     (F.col("csize_cand") == 1)
                     & (F.col("csize_cur") == 1)
-                    & (F.col("cand") > F.col("v")),
+                    & (F.col("cand") > F.col("comm")),
                 )
                 .select("v", "cand", "blocked")
             )

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _fix_sentinels(assign: DataFrame, col: str) -> DataFrame:
@@ -82,12 +81,15 @@ def gini_coefficient(assign: DataFrame) -> float:
     """Gini of community-size distribution — reference
     `utilityClusterComparisonMetrics.cpp:309-331`:
     sizes ascending, G = 2·Σ(i+1)·s_i / (k·Σs) − (k+1)/k."""
+    from grappolo_spark.plans.ranking import dense_rank_ids
+
     sizes = assign.filter(F.col("comm") >= 0).groupBy("comm").agg(
         F.count(F.lit(1)).alias("s")
     )
-    w = Window.orderBy("s", "comm")
+    # distributed partition-offset ranking (no single-partition window)
+    ranked, _ = dense_rank_ids(sizes, ["s", "comm"], out="i0")
     row = (
-        sizes.withColumn("i", F.row_number().over(w))
+        ranked.withColumn("i", F.col("i0") + 1)
         .agg(
             F.sum(F.col("i") * F.col("s")).alias("ws"),
             F.sum("s").alias("tot"),

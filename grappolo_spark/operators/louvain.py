@@ -80,6 +80,52 @@ class LouvainPhaseResult:
     iterations: int
 
 
+def smart_init_assignment(g: Graph) -> DataFrame:
+    """One-pass warm start — reference ``initCommAssOpt``
+    (`Utility/utilityClusteringFunctions.cpp:108-169`).
+
+    Each vertex evaluates its neighbors assuming the all-singleton
+    assignment: eix = 0, ax = 0, ay = deg(neighbor), so the gain collapses
+    to ``2*w_uv − 2*deg_u*deg_v*const`` — one edge-table pass with a
+    per-vertex argmax, no community-info join and no modularity action.
+    Strictly-positive gain required; ties break to the smaller neighbor id;
+    swap protection (all sizes 1) blocks moves to a larger id. Equivalent
+    to the kernel's first Jacobi iteration, at a fraction of its cost.
+    """
+    vdeg = g.degrees().select("v", "deg")
+    two_m = g.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    if two_m == 0.0:
+        return g.vertex_ids().select("v", F.col("v").alias("comm"))
+    const = (2.0 if g.directed else 1.0) / two_m
+    d_src = vdeg.select(F.col("v").alias("src"), F.col("deg").alias("deg_u"))
+    d_dst = vdeg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_v"))
+    cand = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .join(d_src, "src")
+        .join(d_dst, "dst")
+        .withColumn(
+            "gain",
+            2.0 * F.col("weight")
+            - 2.0 * F.col("deg_u") * F.col("deg_v") * F.lit(const),
+        )
+        .filter(F.col("gain") > 0)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("gain"), F.asc("dst"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # swap protection: every community is a singleton whose id is its
+        # own vertex id, so maxIndex > sc reduces to cand > v
+        .filter(F.col("dst") < F.col("src"))
+        .select(F.col("src").alias("v"), F.col("dst").alias("cand"))
+    )
+    return (
+        g.vertex_ids()
+        .join(best, "v", "left")
+        .select("v", F.coalesce("cand", F.col("v")).cast("long").alias("comm"))
+    )
+
+
 def louvain_one_phase(
     g: Graph,
     thresh: float = 1e-6,
@@ -293,14 +339,20 @@ def louvain_one_phase(
         best = (
             cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("v", "cand", "csize_cand", F.col("csize_cur").alias("csize_me"))
+            .select(
+                "v", "comm", "cand", "csize_cand",
+                F.col("csize_cur").alias("csize_me"),
+            )
         )
-        # singleton-swap protection (`utilityClusteringFunctions.cpp:254-256`)
+        # singleton-swap protection (`utilityClusteringFunctions.cpp:254-256`):
+        # the reference compares the target to the CURRENT COMMUNITY id
+        # (maxIndex > sc), not the vertex id — they differ once a vertex
+        # occupies a singleton community whose id isn't its own
         best = best.withColumn(
             "blocked",
             (F.col("csize_cand") == 1)
             & (F.col("csize_me") == 1)
-            & (F.col("cand") > F.col("v")),
+            & (F.col("cand") > F.col("comm")),
         )
         if sample_fraction is not None and sample_fraction < 1.0:
             # seeded per-iteration sampling: non-sampled vertices keep comm

@@ -32,11 +32,11 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from grappolo_spark.graph import Graph
 from grappolo_spark.operators.louvain import louvain_one_phase
 from grappolo_spark.plans.iteration import cut_lineage
+from grappolo_spark.plans.ranking import dense_rank_ids
 
 
 def renumber_contiguously(assign: DataFrame) -> tuple[DataFrame, int]:
@@ -53,11 +53,11 @@ def renumber_contiguously(assign: DataFrame) -> tuple[DataFrame, int]:
         .groupBy("comm")
         .agg(F.min("v").alias("first_v"))
     )
-    w = Window.orderBy("first_v")
-    mapping = firsts.select(
-        "comm", (F.row_number().over(w) - 1).cast("long").alias("new_comm")
-    )
-    k = mapping.count()
+    # distributed partition-offset ranking (runs EVERY phase — a global
+    # single-partition window here would funnel ~|V|/2 community ids
+    # through one task at phase 1); k falls out of the offsets for free
+    ranked, k = dense_rank_ids(firsts, "first_v", out="new_comm")
+    mapping = ranked.select("comm", "new_comm")
     out = (
         assign.join(mapping, "comm", "left")
         .select("v", F.coalesce("new_comm", F.lit(-1)).cast("long").alias("comm"))
@@ -67,7 +67,12 @@ def renumber_contiguously(assign: DataFrame) -> tuple[DataFrame, int]:
 
 def coarsen(g: Graph, assign: DataFrame) -> Graph:
     """One vertex per cluster; summed edge weights; zero-weight self-loop
-    guaranteed per cluster (reference `buildNextPhase.cpp:120-127`)."""
+    guaranteed per cluster (reference `buildNextPhase.cpp:120-127`).
+
+    Directedness is preserved: a directed graph's edge table is not
+    symmetrized, so the grouped fold keeps direction and the coarse graph
+    stays directed (`runDirectedMultiPhaseBasic.cpp:121-131` coarsens the
+    out-CSR unchanged)."""
     a_src = assign.select(F.col("v").alias("src"), F.col("comm").alias("csrc"))
     a_dst = assign.select(F.col("v").alias("dst"), F.col("comm").alias("cdst"))
     folded = (
@@ -87,7 +92,7 @@ def coarsen(g: Graph, assign: DataFrame) -> Graph:
         .groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
     )
-    return Graph(edges=coarse)
+    return Graph(edges=coarse, directed=g.directed)
 
 
 @dataclass
@@ -114,6 +119,7 @@ def louvain(
     seed: int = 12345,
     early_terminate: bool = False,
     fast_track_resistance: bool = False,
+    smart_init: bool = False,
     run_dir: str | None = None,
 ) -> LouvainResult:
     """Full multi-phase Louvain (flagship query — reference entry point
@@ -127,14 +133,27 @@ def louvain(
     (`runMultiPhaseColoring.cpp:110-126`).
     ``vertex_following=True`` collapses degree-0/1 vertices first
     (`Utility/vertexFollowing.cpp:46-86`).
+    ``smart_init=True`` warm-starts each plain phase with the one-pass
+    all-singleton sweep (``initCommAssOpt``,
+    `Utility/utilityClusteringFunctions.cpp:108-169`).
+    Directed graphs (``Graph(directed=True)``) run the directed kernel
+    (constant 2/m) and coarsen without symmetrizing — the
+    `runDirectedMultiPhaseBasic.cpp:52-170` driver.
     """
     from grappolo_spark.operators.coloring import louvain_one_phase_colored
+    from grappolo_spark.operators.louvain import smart_init_assignment
     from grappolo_spark.operators.vertex_following import (
         apply_vertex_following,
         vertex_following_map,
     )
 
     spark = g.edges.sparkSession
+
+    if g.directed and (coloring or vertex_following):
+        raise ValueError(
+            "coloring / vertex_following assume a symmetrized edge table; "
+            "not supported with directed=True"
+        )
 
     vf_map = None
     if vertex_following:
@@ -167,6 +186,7 @@ def louvain(
         else:
             res = louvain_one_phase(
                 cur_g, thresh=phase_thresh, lower=curr_mod,
+                init_assign=smart_init_assignment(cur_g) if smart_init else None,
                 sample_fraction=sample_fraction,
                 seed=seed,
                 early_terminate=early_terminate,
@@ -206,7 +226,10 @@ def louvain(
             break
         if (curr_mod - prev_mod) > threshold:
             cur_g = coarsen(cur_g, assign)
-            cur_g = Graph(edges=cut_lineage(cur_g.edges, tag="coarse_edges", keep_last=2))
+            cur_g = Graph(
+                edges=cut_lineage(cur_g.edges, tag="coarse_edges", keep_last=2),
+                directed=cur_g.directed,
+            )
             phase += 1
         else:
             break

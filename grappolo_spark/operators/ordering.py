@@ -16,11 +16,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from grappolo_spark.graph import Graph
 from grappolo_spark.operators.components import connected_components
 from grappolo_spark.plans.iteration import cut_lineage
+from grappolo_spark.plans.ranking import dense_rank_ids
 
 
 def bfs_levels(g: Graph, seeds: DataFrame, max_iters: int = 10_000) -> DataFrame:
@@ -76,9 +76,10 @@ def rcm_ordering(g: Graph) -> DataFrame:
             "out_degree",
         )
     )
-    w = Window.orderBy("component", "level", "out_degree", "v")
-    cm = ranked.select("v", (F.row_number().over(w) - 1).alias("cm_order"))
-    n = cm.count()
+    # distributed partition-offset ranking; n falls out of the offsets
+    cm, n = dense_rank_ids(
+        ranked, ["component", "level", "out_degree", "v"], out="cm_order"
+    )
     return cm.select(
         "v", (F.lit(n - 1) - F.col("cm_order")).cast("long").alias("order")
     )

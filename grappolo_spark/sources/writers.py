@@ -124,10 +124,9 @@ def write_edge_list(g: Graph, path: str, one_based: bool = True) -> None:
 def build_old2new_map(assign: DataFrame) -> DataFrame:
     """Community-contiguous vertex reordering (v, new_id): pack vertices so
     same-community vertices are adjacent — reference ``buildOld2NewMap``
-    (`utilityFunctions.cpp:540-629`), used by the matrix-reordering drivers."""
-    from pyspark.sql.window import Window
+    (`utilityFunctions.cpp:540-629`), used by the matrix-reordering drivers.
+    Distributed partition-offset ranking (no single-partition window)."""
+    from grappolo_spark.plans.ranking import dense_rank_ids
 
-    w = Window.orderBy("comm", "v")
-    return assign.select(
-        "v", (F.row_number().over(w) - 1).cast("long").alias("new_id")
-    )
+    ranked, _ = dense_rank_ids(assign.select("v", "comm"), ["comm", "v"], out="new_id")
+    return ranked.select("v", "new_id")
