@@ -313,8 +313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.exact_dedup(_read(spark, sf, "documents"))
 
     def q_ngram_jaccard(spark, sf):
+        # max_shingle_df caps hot-shingle buckets (quadratic at corpus
+        # scale); the oracle SQL applies the identical cap
         return D.ngram_jaccard_pairs(
-            _read(spark, sf, "documents"), n=3, threshold=0.3
+            _read(spark, sf, "documents"), n=3, threshold=0.3, max_shingle_df=50
         )
 
     def q_minhash(spark, sf):  # rows-only (xxhash64 sketch)
@@ -345,13 +347,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ann(spark, sf):
+        # scale kernel: broadcast queries, stream the corpus (numpy/BLAS
+        # per Arrow batch) — bit-identical to the HOF crossJoin baseline,
+        # which the DuckDB oracle still mirrors
+        from grappolo_spark.functions.similarity_fast import cosine_topk_sharded
+
         emb = _read(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") % 10 == 0)
-        return S.cosine_topk(emb, k=5, queries=q)
+        return cosine_topk_sharded(emb, k=5, queries=q)
 
     def q_ann_lsh(spark, sf):  # rows-only (hash-bucketed approximate path)
         emb = _read(spark, sf, "embeddings")
-        return S.lsh_cosine_topk(emb, k=5, num_planes=6)
+        return S.lsh_cosine_topk(emb, k=5, num_planes=6, num_tables=4)
 
     return {
         "cs_edges": q_cs_edges,
@@ -596,13 +603,16 @@ WITH toks AS (
   SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS ts FROM documents)
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id,
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
   FROM toks
   WINDOW w AS (PARTITION BY doc_id ORDER BY i)
   QUALIFY lead(tok, 2) OVER w IS NOT NULL
 ),
+-- identical stop-shingle cap as the Spark query (max_shingle_df=50)
+rare AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50),
+sh AS (SELECT doc_id, s.shingle FROM sh_all s JOIN rare USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter

@@ -33,7 +33,7 @@ def main() -> int:
     from grappolo_spark.operators.pagerank import pagerank
     from grappolo_spark.operators.triangles import triangle_count
     from grappolo_spark.functions.dedup import minhash_lsh_pairs
-    from grappolo_spark.functions.similarity import cosine_topk
+    from grappolo_spark.functions.similarity_fast import cosine_topk_sharded
     from grappolo_spark.session import get_spark
 
     spark = get_spark(
@@ -76,7 +76,7 @@ def main() -> int:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed(
         "ann_cosine_topk",
-        lambda: cosine_topk(
+        lambda: cosine_topk_sharded(
             emb, k=5, queries=emb.filter(F.col("vec_id") % 10 == 0)
         ).count(),
     )

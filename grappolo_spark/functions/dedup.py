@@ -69,13 +69,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
 
     Candidates come from a self-join on shingle (docs sharing ≥1 shingle);
     |A∩B| by groupBy(pair), |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_df`` drops stop-shingles appearing in more than that many
+    documents BEFORE the self-join — one ubiquitous shingle ("the end of")
+    would otherwise create a quadratic candidate bucket at corpus scale.
+    Jaccard is then computed over the filtered shingle space (sizes and
+    intersections consistently exclude dropped shingles), so the estimate
+    is deterministic and oracle-replicable; the recall trade is that pairs
+    similar ONLY through ubiquitous shingles score lower. ``None`` disables
+    the cap (exact semantics, unsafe on skewed corpora).
     """
-    sh = shingles(df, id_col, text_col, n).persist()
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.withColumnRenamed("id", "id_a")
     b = sh.withColumnRenamed("id", "id_b")

@@ -108,21 +108,39 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 8,
+    num_tables: int = 4,
     seed: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: score only pairs sharing an SRP bucket."""
-    b = srp_buckets(df, id_col, vec_col, num_planes, seed)
-    base = with_norm(df, vec_col).join(b, F.col(id_col) == b.id).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("_vb"),
-        F.col("_norm").alias("_nb"), "bucket",
+    """Approximate top-k: score only pairs sharing an SRP bucket in at
+    least one of ``num_tables`` independent hash tables (OR-amplification).
+
+    A single table's recall sags as the corpus grows (true neighbors split
+    across bucket boundaries); unioning candidates over T independent
+    plane sets raises recall to 1 − (1 − p^b)^T while candidate generation
+    stays a bucket equi-join per table — never all-pairs. Candidates are
+    deduped before scoring so each pair is scored once.
+    """
+    base_v = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
     )
-    q = base.select(
-        F.col("nid").alias("qid"), F.col("_vb").alias("_va"),
-        F.col("_nb").alias("_na"), "bucket",
-    )
+    cand = None
+    for t in range(num_tables):
+        b = srp_buckets(df, id_col, vec_col, num_planes, seed + 101 * t)
+        a = b.select(F.col("id").alias("qid"), "bucket")
+        c = (
+            a.join(b.select(F.col("id").alias("nid"), "bucket"), "bucket")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
     scored = (
-        q.join(base, "bucket")
-        .filter(F.col("qid") != F.col("nid"))
+        cand.join(base_v.select(F.col("nid").alias("qid"),
+                                F.col("_vb").alias("_va"),
+                                F.col("_nb").alias("_na")), "qid")
+        .join(base_v, "nid")
         .select(
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
@@ -131,7 +149,6 @@ def lsh_cosine_topk(
                 / (F.col("_na") * F.col("_nb"))
             ).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -2,12 +2,19 @@
 
 The HOF-expression kernel in similarity.py is exact and oracle-friendly but
 evaluates interpreted lambda expressions per pair — FLOP-starved at scale.
-This variant broadcasts the (normalized) corpus matrix to executors and
-scores each Arrow batch of queries with one numpy matmul (BLAS), returning
-identical results (same rounding + tie-break). ~10-50x faster and scales
-with cores, at the cost of requiring the corpus matrix to fit in executor
-memory (fine up to ~10M x 128 float32 = 5 GB; shard the corpus and merge
-top-k per shard beyond that).
+Two numpy kernels, both bit-identical to ``similarity.cosine_topk`` (same
+6dp rounding before ranking, same id tie-break):
+
+- ``cosine_topk_np``      : broadcasts the CORPUS matrix, maps over query
+  batches. Fine while the corpus fits in executor memory (~10M x 128);
+  the full-corpus ``collect`` makes it a small/medium-scale tool.
+- ``cosine_topk_sharded`` : the 100 TB orientation — broadcasts the
+  (small) QUERY matrix, streams the corpus through ``mapInPandas`` (one
+  BLAS matmul + per-batch top-k per Arrow batch), then merges the
+  per-batch winners with a grouped top-k. The corpus is never collected;
+  driver/executor memory is O(|queries| * dim), the scan is fully
+  distributed and projection-pruned, and the merge input is only
+  (#batches * k) rows per query.
 """
 
 from __future__ import annotations
@@ -67,4 +74,67 @@ def cosine_topk_np(
 
     return q.mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
+    )
+
+
+def cosine_topk_sharded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine): exact top-k with a distributed
+    corpus scan — the scale path.
+
+    Queries are collected and broadcast (documented bound: queries must be
+    the small side); each corpus Arrow batch contributes its local top-k
+    per query, and a grouped window takes the global top-k of the union —
+    exact, because the global top-k is contained in the union of per-batch
+    top-ks. Matches ``similarity.cosine_topk`` bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    q_rows = (queries if queries is not None else df).select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorms = bc.value
+        for b in batches:
+            cids = b[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(list(b[vec_col]), dtype=np.float64)
+            if cmat.size == 0:
+                continue
+            cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+            cos = np.round(
+                (b_qmat @ cmat.T) / np.outer(b_qnorms, cnorms), 6
+            )
+            out_q, out_n, out_c = [], [], []
+            for i, qid in enumerate(b_qids):
+                row = cos[i]
+                mask = cids != qid
+                cand_ids = cids[mask]
+                cand_cos = row[mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
     )

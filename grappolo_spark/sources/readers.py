@@ -101,27 +101,43 @@ def read_snap_ground_truth(
 
 def read_metis(spark: SparkSession, path: str) -> Graph:
     """METIS/DIMACS#10 adjacency format (`loadMetis.cpp:19-234`): header
-    ``NV NE [fmt]``; line i (1-based) lists the neighbors of vertex i;
-    fmt=1 → alternating neighbor/weight pairs; fmt=10/11 (vertex weights)
-    unsupported here. '%' comment lines skipped.
+    ``NV NE [fmt [ncon]]``; line i (1-based) lists the neighbors of vertex i.
+
+    Faithful to the reference parser plus the standard-format extensions:
+    - blank lines are KEPT in the numbering — they are valid isolated
+      vertices (`loadMetis.cpp` strRang==0 branch); only '%' comments skip
+    - self-edges are dropped ("self-edge removed", `loadMetis.cpp:101-104`)
+    - fmt last digit = edge weights (alternating neighbor/weight pairs);
+      second-last digit = vertex weights, ``ncon`` per line, parsed and
+      ignored exactly as the reference documents ("Will ignore vertex
+      weights", `loadMetis.cpp:165-223`)
+    - all NV header vertices exist in the graph, edges or not
 
     Line numbers must be assigned in file order — done with a single-file
     zipWithIndex (METIS files are line-ordered; for huge graphs prefer
     parquet/edge-list inputs)."""
     sc = spark.sparkContext
     rdd = sc.textFile(path).zipWithIndex()
-    rows = rdd.filter(lambda kv: kv[0].strip() and not kv[0].startswith("%"))
+    rows = rdd.filter(lambda kv: not kv[0].startswith("%"))
     indexed = rows.zipWithIndex().map(lambda kv: (kv[1], kv[0][0]))
     df = spark.createDataFrame(indexed, "idx long, line string")
     header = df.filter("idx = 0").collect()[0]["line"].split()
+    nv = int(header[0])
     fmt = header[2] if len(header) > 2 else "0"
-    weighted = fmt.endswith("1")
-    body = df.filter("idx > 0").select(
+    ncon = int(header[3]) if len(header) > 3 else 1
+    has_vweights = len(fmt) >= 2 and fmt[-2] == "1"
+    has_eweights = fmt[-1] == "1"
+    skip = ncon if has_vweights else 0
+    body = df.filter((F.col("idx") > 0) & (F.col("idx") <= nv)).select(
         (F.col("idx") - 1).alias("src"),
-        F.split(F.trim("line"), _WS).alias("t"),
+        # tokenize, drop empties (blank adjacency lines), skip vertex weights
+        F.expr(
+            f"slice(filter(split(trim(line), '\\\\s+'), x -> x != ''),"
+            f" {skip} + 1, 2147483647)"
+        ).alias("t"),
     )
-    if weighted:
-        pairs = body.select(
+    if has_eweights:
+        pairs = body.filter(F.size("t") >= 2).select(
             "src",
             F.explode(
                 F.expr(
@@ -133,7 +149,8 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
         ).select("src", F.col("e.dst"), F.col("e.weight"))
     else:
         pairs = (
-            body.select("src", F.explode("t").alias("d"))
+            body.filter(F.size("t") > 0)
+            .select("src", F.explode("t").alias("d"))
             .select(
                 "src",
                 (F.col("d").cast("long") - 1).alias("dst"),
@@ -141,7 +158,9 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
             )
             .filter(F.col("dst").isNotNull())
         )
-    return Graph.from_edgelist(pairs)
+    pairs = pairs.filter(F.col("src") != F.col("dst"))
+    vertices = spark.range(nv).select(F.col("id").cast("long").alias("v"))
+    return Graph.from_edgelist(pairs, vertices=vertices)
 
 
 def read_matrix_market(spark: SparkSession, path: str) -> Graph:

@@ -40,7 +40,9 @@ def write_metis(g: Graph, path: str) -> None:
     """METIS adjacency sink (`writeSimple.cpp:2-34`): header ``NV NE 0``,
     line i = 1-based neighbors of vertex i-1."""
     nv = g.num_vertices()
-    ne = g.num_edges()
+    # header counts what the body lists: non-self undirected edges (the
+    # adjacency lines exclude self-loops, so num_edges() would over-count)
+    ne = g.edges.filter(F.col("src") != F.col("dst")).count() // 2
     adj = (
         g.edges.filter(F.col("src") != F.col("dst"))
         .groupBy("src")

@@ -127,3 +127,19 @@ def test_multimodal_plumbing(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
     plan = frame_sample_plan(media, every_ms=250)
     assert plan.groupBy("media_id").count().collect()[0]["count"] == 4  # 1000ms/250
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # one shingle shared by ALL docs would create a quadratic candidate
+    # bucket; with the document-frequency cap the bucket disappears and
+    # only true duplicates (similar through RARE shingles) still pair up
+    docs = [
+        (i, f"common filler phrase every doc unique{i} token{i} word{i} t{i}")
+        for i in range(40)
+    ]
+    docs.append((100, docs[0][1]))  # exact duplicate of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert rows.get((0, 100)) == 1.0
+    assert set(rows) == {(0, 100)}  # candidate set stayed linear

@@ -117,3 +117,42 @@ def test_old2new_map(spark):
     )
     m = {r.v: r.new_id for r in build_old2new_map(assign).collect()}
     assert m == {1: 0, 3: 1, 0: 2, 2: 3}  # packed by (comm, v)
+
+
+def test_metis_blank_lines_self_edges_and_vertex_weights(spark, tmp_path):
+    # 5 vertices: v0-v1, v1-v2, v3 ISOLATED (blank line), v4-v0; plus a
+    # self-edge 2->3(=itself? no: 3 is v2's 1-based self) that must drop.
+    # fmt=10 + ncon=2: two vertex weights lead each line and are ignored
+    # (reference "Will ignore vertex weights", loadMetis.cpp:165-223).
+    text = "\n".join(
+        [
+            "% a comment line",
+            "5 3 10 2",
+            "9 1 2 5",      # v0: w=(9,1) nbrs 1(v1-? 1-based)->v1? 2->v1, 5->v4
+            "7 2 1 3 2",    # v1: w=(7,2) nbrs v0, v2, self(2->v1) dropped
+            "3 3 2",        # v2: nbrs v1
+            "",             # v3: isolated
+            "1 1 1",        # v4: nbrs v0
+        ]
+    ) + "\n"
+    p = str(tmp_path / "vw.graph")
+    _write(p, text)
+    g = readers.read_metis(spark, p)
+    assert g.num_vertices() == 5  # isolated v3 included
+    edges = {(r.src, r.dst) for r in g.edges.collect()}
+    assert (1, 1) not in edges  # self-edge removed
+    assert edges == {(0, 1), (1, 0), (1, 2), (2, 1), (0, 4), (4, 0)}
+    degs = {r.v: r.out_degree for r in g.degrees().collect()}
+    assert degs[3] == 0
+
+
+def test_metis_writer_header_excludes_self_loops(spark, tmp_path):
+    from grappolo_spark.graph import Graph
+
+    g = Graph.from_pairs(spark, [(0, 1), (1, 2), (2, 2)])  # one self-loop
+    out = str(tmp_path / "selfloop.graph")
+    writers.write_metis(g, out)
+    with open(out) as f:
+        header = f.readline().split()
+    # body lists only non-self adjacency: 2 undirected edges
+    assert header[:2] == ["3", "2"]
