@@ -136,6 +136,8 @@ def louvain_one_phase(
     seed: int = 12345,
     early_terminate: bool = False,
     ftr_phase: int | None = None,
+    lineage_cut_every: int = 1,
+    salt_threshold: int = 1_000_000,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """Run one modularity-optimization level to its convergence threshold.
@@ -164,8 +166,20 @@ def louvain_one_phase(
     # edges-join-assignment then reuses the layout (no per-iteration edge
     # shuffle; measured 1.8x on sf0.1)
     edges = g.edges.repartition("dst").persist()
-    vdeg = g.degrees().select("v", "deg").persist()
-    two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    vdeg_full = g.degrees().persist()
+    vdeg = vdeg_full.select("v", "deg")
+    # one action yields 2m AND the max degree (hub detection for salting):
+    # sum of per-vertex degrees == total edge-row weight
+    stats0 = vdeg_full.agg(
+        F.sum("deg").alias("tw"), F.max("out_degree").alias("maxdeg")
+    ).collect()[0]
+    two_m = stats0["tw"] or 0.0
+    # hub skew: route the gather through a two-stage salted aggregation
+    # when any vertex's neighbor list exceeds the threshold (the DataFrame
+    # analogue of the reference's per-thread partial maps,
+    # `parallelLouvainMethodScale.cpp:86-90`); below it, Spark's map-side
+    # partial agg absorbs the skew for free
+    use_salting = (stats0["maxdeg"] or 0) > salt_threshold
     if two_m == 0.0:
         empty = spark.createDataFrame([], "v long, comm long")
         return LouvainPhaseResult(empty, 0.0, 0)
@@ -198,6 +212,10 @@ def louvain_one_phase(
 
     hist1 = hist2 = None  # last two assignments (early-termination filter)
     num_itrs = start
+    # per-iteration temporaries whose unpersist must wait until no live
+    # plan references them (one-commit lag)
+    pending: list = []
+    retired: list = []
     for step in range(start, max_iters):
         num_itrs = step + 1
         # --- active set (early termination) --------------------------------
@@ -228,11 +246,19 @@ def louvain_one_phase(
             if active_src is not None
             else edges
         )
-        counter = (
-            gather_edges.join(a_dst, "dst")
-            .groupBy(F.col("src").alias("v"), F.col("comm_dst").alias("cand"))
-            .agg(F.sum("weight").alias("wsum"))
-        ).persist()
+        gathered = gather_edges.join(a_dst, "dst").select(
+            F.col("src").alias("v"), F.col("comm_dst").alias("cand"), "weight"
+        )
+        if use_salting:
+            from grappolo_spark.plans.salting import salted_sum
+
+            counter = salted_sum(
+                gathered, ["v", "cand"], "weight", out="wsum"
+            ).persist()
+        else:
+            counter = (
+                gathered.groupBy("v", "cand").agg(F.sum("weight").alias("wsum"))
+            ).persist()
 
         # --- per-vertex current-community stats ----------------------------
         cur = (
@@ -312,9 +338,7 @@ def louvain_one_phase(
             "gain": curr_mod - prev_mod,
         }
         if stop:
-            cinfo.unpersist()
-            counter.unpersist()
-            cur.unpersist()
+            pending.extend([cinfo, counter, cur])
             break
 
         # --- candidate gains + argmax --------------------------------------
@@ -378,16 +402,41 @@ def louvain_one_phase(
         prev_assign = assign
         hist2 = hist1
         hist1 = assign
-        assign = runner.commit(step, new_assign, dict(metrics, prev_mod=prev_mod))
-        cinfo.unpersist()
-        counter.unpersist()
-        cur.unpersist()
+        # chain a few supersteps between parquet cuts (the plan is a short
+        # linear chain over persisted temporaries) — halves the per-
+        # iteration job count; with a run_dir every superstep still commits
+        # durably so resume finds per-superstep state
+        do_cut = (
+            run_dir is not None
+            or lineage_cut_every <= 1
+            or (step + 1) % lineage_cut_every == 0
+        )
+        if do_cut:
+            assign = runner.commit(
+                step, new_assign, dict(metrics, prev_mod=prev_mod)
+            )
+            # one-commit lag: items retired at the PREVIOUS commit are now
+            # certainly out of every live plan (assign is parquet-backed)
+            for df_ in retired:
+                df_.unpersist()
+            retired = pending
+            pending = []
+        else:
+            runner.history.append(dict(metrics, prev_mod=prev_mod, step=step))
+            # persist, don't cut: the next iteration's plan consumes this
+            # assignment 3-4 times — without a persist each consumer would
+            # re-run the argmax window
+            assign = new_assign.persist()
+            pending.append(assign)
+        pending.extend([cinfo, counter, cur])
 
-    edges.unpersist()
-    vdeg.unpersist()
     prev_assign = cut_lineage(
         prev_assign.select("v", "comm"), tag="result", keep_last=64
     )
+    for df_ in retired + pending:
+        df_.unpersist()
+    edges.unpersist()
+    vdeg_full.unpersist()
     return LouvainPhaseResult(
         assignment=prev_assign.select("v", "comm"),
         modularity=prev_mod,

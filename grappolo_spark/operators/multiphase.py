@@ -170,10 +170,12 @@ def louvain(
     tot_itr = 0
     num_clusters = 0
     history = []
+    phase_maps = []  # deferred C_orig folds: one composed join at the end
     cur_g = g
+    prev_k = None  # phase p+1's vertex count == phase p's cluster count
 
     while True:
-        nv = cur_g.num_vertices()
+        nv = prev_k if prev_k is not None else cur_g.num_vertices()
         use_coloring = coloring and nv > min_graph_size
         phase_thresh = c_threshold if use_coloring else threshold
         prev_mod = curr_mod
@@ -197,19 +199,17 @@ def louvain(
         tot_itr += res.iterations
 
         assign, num_clusters = renumber_contiguously(res.assignment)
-        assign = cut_lineage(assign, tag="phase_assign")
+        # keep_last must outlive the whole run: the end-of-run fold reads
+        # every phase's assignment parquet
+        assign = cut_lineage(assign, tag="phase_assign", keep_last=256)
+        prev_k = num_clusters
 
-        # fold into original-vertex assignment: C_orig[i] = C[C_orig[i]]
-        phase_map = assign.select(
-            F.col("v").alias("comm"), F.col("comm").alias("next_comm")
+        # defer C_orig[i] = C[C_orig[i]] (`runMultiPhaseBasic.cpp:105-112`):
+        # each phase map is a small cut table, so the whole chain composes
+        # into ONE join job after the loop instead of a job per phase
+        phase_maps.append(
+            assign.select(F.col("v").alias("comm"), F.col("comm").alias("next_comm"))
         )
-        c_orig = (
-            c_orig.join(phase_map, "comm", "left")
-            .select(
-                "v", F.coalesce("next_comm", F.lit(-1)).cast("long").alias("comm")
-            )
-        )
-        c_orig = cut_lineage(c_orig, tag="c_orig")
 
         history.append(
             {
@@ -233,6 +233,13 @@ def louvain(
             phase += 1
         else:
             break
+
+    # compose all phase folds in one plan, cut once
+    for pm in phase_maps:
+        c_orig = c_orig.join(pm, "comm", "left").select(
+            "v", F.coalesce("next_comm", F.lit(-1)).cast("long").alias("comm")
+        )
+    c_orig = cut_lineage(c_orig, tag="c_orig")
 
     if vf_map is not None:
         # prolong through the vertex-following collapse: followed vertex

@@ -29,7 +29,7 @@ def pagerank(
     alpha: float = 0.85,
     max_iters: int = 20,
     tol: float | None = None,
-    lineage_cut_every: int = 1,
+    lineage_cut_every: int = 3,
     run_dir: str | None = None,
 ) -> DataFrame:
     """Return ``(v, rank)``. Deterministic given (graph, alpha, max_iters)."""
@@ -96,7 +96,8 @@ def pagerank(
         # chaining a few supersteps before each cut is safe (the plan is a
         # linear chain) and amortizes the per-superstep state write
         if (
-            lineage_cut_every <= 1
+            run_dir is not None  # per-superstep durable state for resume
+            or lineage_cut_every <= 1
             or (step + 1) % lineage_cut_every == 0
             or step == max_iters - 1
             or tol is not None

@@ -160,3 +160,26 @@ def test_multiphase_smart_init_karate(spark):
     g = fixtures.karate(spark)
     res = louvain(g, smart_init=True)
     assert 0.38 <= res.modularity <= 0.43
+
+
+def test_salted_gather_identical_results(spark):
+    # hub degree 201 > threshold 50 triggers the two-stage salted gather;
+    # results must be bit-identical to the unsalted plan
+    g = fixtures.star_hub(spark, leaves=200, chords=20)
+    plain = louvain_one_phase(g, salt_threshold=10**9)
+    salted = louvain_one_phase(g, salt_threshold=50)
+    assert abs(plain.modularity - salted.modularity) < 1e-12
+    a = {(r.v, r.comm) for r in plain.assignment.collect()}
+    b = {(r.v, r.comm) for r in salted.assignment.collect()}
+    assert a == b
+
+
+def test_lineage_cut_cadence_invariant(spark):
+    g = fixtures.karate(spark)
+    r1 = louvain_one_phase(g, lineage_cut_every=1)
+    r3 = louvain_one_phase(g, lineage_cut_every=3)
+    assert r1.modularity == r3.modularity
+    assert r1.iterations == r3.iterations
+    a = {(r.v, r.comm) for r in r1.assignment.collect()}
+    b = {(r.v, r.comm) for r in r3.assignment.collect()}
+    assert a == b
