@@ -396,13 +396,37 @@ def oracle_sql() -> dict[str, str]:
 
     sql["degree_stats"] = f"""
 WITH {CS_EDGES_CTE.strip()},
-deg AS (SELECT src AS v, count(*) AS od, sum(weight) AS wd FROM cs_edges GROUP BY 1)
-SELECT CAST(count(*) AS BIGINT) AS num_vertices,
-       CAST(min(od) AS BIGINT) AS min_degree,
-       CAST(max(od) AS BIGINT) AS max_degree,
-       round(avg(od), 6) AS avg_degree,
-       round(sum(wd), 6) AS total_weight_2m
-FROM deg
+deg AS (SELECT src AS v, count(*) AS od, sum(weight) AS wd FROM cs_edges GROUP BY 1),
+ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS num_vertices,
+         CAST(min(od) AS BIGINT) AS min_degree,
+         CAST(max(od) AS BIGINT) AS max_degree,
+         avg(od) AS avgd,
+         avg(od * od) AS avgsq,
+         CAST(sum(CASE WHEN od = 0 THEN 1 ELSE 0 END) AS BIGINT) AS isolated,
+         CAST(sum(CASE WHEN od = 1 THEN 1 ELSE 0 END) AS BIGINT) AS degree_one,
+         round(sum(wd), 6) AS total_weight_2m
+  FROM deg
+),
+es AS (
+  SELECT count(*) AS rows2,
+         sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS selfs
+  FROM cs_edges
+)
+SELECT num_vertices,
+       CAST((rows2 - coalesce(selfs, 0)) / 2 + coalesce(selfs, 0) AS BIGINT) AS num_edges,
+       min_degree,
+       max_degree,
+       round(avgd, 6) AS avg_degree,
+       round(avgsq, 6) AS avg_sq_degree,
+       round(avgsq - avgd * avgd, 6) AS variance,
+       round(sqrt(avgsq - avgd * avgd), 6) AS std_dev,
+       isolated,
+       degree_one,
+       round(((rows2 - coalesce(selfs, 0)) / 2 + coalesce(selfs, 0))
+             / (CAST(num_vertices AS DOUBLE) * num_vertices) * 100.0, 6) AS density_pct,
+       total_weight_2m
+FROM ds, es
 """
 
     sql["connected_components"] = f"""

@@ -200,14 +200,53 @@ class Graph:
         return self.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
 
     def characteristics(self) -> DataFrame:
-        """Degree stats job — reference ``displayGraphCharacteristics``
-        (`Utility/utilityFunctions.cpp:188-414`)."""
-        return self.degrees().agg(
+        """One-row graph profile — the full reference
+        ``displayGraphCharacteristics`` stat set
+        (`Utility/utilityFunctions.cpp:188-414`): degree extremes/moments,
+        isolated and degree-one counts, density. Two scans (degree table +
+        edge table) cross-joined into one row; all distributed aggregates."""
+        deg_stats = self.degrees().agg(
             F.count(F.lit(1)).alias("num_vertices"),
-            F.min("out_degree").alias("min_degree"),
-            F.max("out_degree").alias("max_degree"),
-            F.round(F.avg("out_degree"), 6).alias("avg_degree"),
+            F.min("out_degree").cast("long").alias("min_degree"),
+            F.max("out_degree").cast("long").alias("max_degree"),
+            F.avg("out_degree").alias("_avg"),
+            F.avg(F.col("out_degree") * F.col("out_degree")).alias("_avg_sq"),
+            F.sum((F.col("out_degree") == 0).cast("long")).alias("isolated"),
+            F.sum((F.col("out_degree") == 1).cast("long")).alias("degree_one"),
             F.round(F.sum("deg"), 6).alias("total_weight_2m"),
+        )
+        edge_stats = self.edges.agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum((F.col("src") == F.col("dst")).cast("long")).alias("_selfs"),
+        )
+        return deg_stats.crossJoin(edge_stats).select(
+            "num_vertices",
+            (
+                (F.col("_rows") - F.coalesce("_selfs", F.lit(0))) / 2
+                + F.coalesce("_selfs", F.lit(0))
+            ).cast("long").alias("num_edges"),
+            "min_degree",
+            "max_degree",
+            F.round("_avg", 6).alias("avg_degree"),
+            F.round("_avg_sq", 6).alias("avg_sq_degree"),
+            F.round(F.col("_avg_sq") - F.col("_avg") * F.col("_avg"), 6).alias(
+                "variance"
+            ),
+            F.round(
+                F.sqrt(F.col("_avg_sq") - F.col("_avg") * F.col("_avg")), 6
+            ).alias("std_dev"),
+            "isolated",
+            "degree_one",
+            F.round(
+                (
+                    (F.col("_rows") - F.coalesce("_selfs", F.lit(0))) / 2
+                    + F.coalesce("_selfs", F.lit(0))
+                )
+                / (F.col("num_vertices") * F.col("num_vertices"))
+                * 100.0,
+                6,
+            ).alias("density_pct"),
+            "total_weight_2m",
         )
 
     # -- scale / layout helpers ---------------------------------------

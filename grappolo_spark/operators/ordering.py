@@ -83,3 +83,56 @@ def rcm_ordering(g: Graph) -> DataFrame:
     return cm.select(
         "v", (F.lit(n - 1) - F.col("cm_order")).cast("long").alias("order")
     )
+
+
+def rcm_ordering_strict(g: Graph) -> DataFrame:
+    """(v, order): serial Reverse Cuthill-McKee, faithful to the reference's
+    strict variant (`Utility/reverseCuthillMcKee.cpp:263-508`):
+
+    - isolated (degree-0) vertices take the lowest ranks in id order
+      (the reference pushes them onto R before the heap loop, `:315-326`)
+    - each component's source pops the min-degree heap; BFS proceeds level
+      by level, each level's discoveries appended in ascending degree
+      (`:393-408`); heap degree-ties resolve by vertex id here (the
+      reference inherits arbitrary insertion order — documented divergence)
+    - final order is the reversal ``pOrder[R[i]] = NV-1-i`` (`:468-472`)
+
+    Driver-side over collected adjacency — an interop/parity path for
+    matrix reordering, NOT a 100 TB path (use :func:`rcm_ordering`, the
+    distributed relaxed form, at scale).
+    """
+    import heapq
+    from collections import defaultdict
+
+    spark = g.edges.sparkSession
+    adj: dict = defaultdict(set)
+    for r in g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").collect():
+        adj[r.src].add(r.dst)
+        adj[r.dst].add(r.src)
+    verts = sorted(r.v for r in g.vertex_ids().collect())
+    nv = len(verts)
+    deg = {v: len(adj.get(v, ())) for v in verts}
+
+    rlist = [v for v in verts if deg[v] == 0]
+    visited = set(rlist)
+    heap = [(deg[v], v) for v in verts if deg[v] > 0]
+    heapq.heapify(heap)
+    while heap:
+        d, s = heapq.heappop(heap)
+        if s in visited:
+            continue
+        visited.add(s)
+        rlist.append(s)
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for x in sorted(adj[v]):
+                    if x not in visited:
+                        visited.add(x)
+                        nxt.append(x)
+            nxt.sort(key=lambda x: (deg[x], x))
+            rlist.extend(nxt)
+            frontier = nxt
+    order = [(v, nv - 1 - i) for i, v in enumerate(rlist)]
+    return spark.createDataFrame(order, "v long, order long")

@@ -103,6 +103,39 @@ def write_matrix_market(
             f.write(f"{r.r + 1} {r.c + 1} {r.weight:g}\n")
 
 
+def write_matrix_market_bipartite(g: Graph, path: str, num_s: int) -> None:
+    """Bipartite MTX sink (`writeMatrixMarket.cpp:90-130`): a general
+    coordinate matrix with the S side (vertices < num_s) as rows and the
+    T side as columns, offsets undone — the inverse of
+    ``read_matrix_market`` on a general matrix. Driver-side interop path."""
+    e = (
+        g.edges.filter((F.col("src") < num_s) & (F.col("dst") >= num_s))
+        .select("src", "dst", "weight")
+        .collect()
+    )
+    nt = g.num_vertices() - num_s
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{num_s} {nt} {len(e)}\n")
+        for r in e:
+            f.write(f"{r.src + 1} {r.dst - num_s + 1} {r.weight:g}\n")
+
+
+def write_cluster_assignment_distributed(assign: DataFrame, path: str) -> None:
+    """Distributed ``_clustInfo`` sink: one community id per line in vertex
+    order, written as range-partitioned sorted text part files whose
+    name-order concatenation IS the vertex order (part-00000 holds the
+    lowest vertex range, and so on) — no driver collect, scales to any |V|.
+    """
+    (
+        assign.repartitionByRange("v")
+        .sortWithinPartitions("v")
+        .select(F.col("comm").cast("string").alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def write_edge_list(g: Graph, path: str, one_based: bool = True) -> None:
     """Distributed text sink: ``u v w`` lines, each undirected edge once
     (`writeEdgeListToFile`, `utilityFunctions.cpp:137-186`). Scales — this

@@ -3,11 +3,13 @@
 from grappolo_spark.streaming.incremental import (
     incremental_degrees,
     stream_edge_batches,
+    stream_windowed_events_to_parquet,
     windowed_event_counts,
 )
 
 __all__ = [
     "incremental_degrees",
     "stream_edge_batches",
+    "stream_windowed_events_to_parquet",
     "windowed_event_counts",
 ]

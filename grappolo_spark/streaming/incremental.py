@@ -54,6 +54,32 @@ def incremental_degrees(
     )
 
 
+def stream_windowed_events_to_parquet(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> "object":
+    """Production sink for the windowed aggregation: append-mode parquet.
+
+    Append mode emits a window only once its watermark passes (finalized,
+    no in-place updates needed), which is exactly what a durable columnar
+    sink requires — unlike the complete/memory pairing, this scales: each
+    micro-batch appends closed windows as new parquet files, and the
+    checkpoint makes the whole pipeline exactly-once and restartable.
+    """
+    agg = windowed_event_counts(events_stream, window, watermark)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
