@@ -258,6 +258,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = modularity(g.edges, _nation_assign(spark, sf), g.degrees())
         return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
+    def q_modularity_directed(spark, sf):
+        # customer -> supplier arcs only (NOT symmetrized): the directed
+        # kernel's accounting with constant 2/m over out-degrees
+        li = _read(spark, sf, "lineitem")
+        orders = _read(spark, sf, "orders")
+        raw = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("src"),
+                (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        )
+        g = Graph.from_edgelist(raw, directed=True)
+        # shared nation labels on BOTH sides (no +25 offset) so intra-
+        # community arcs exist and exercise the e_xx term
+        cust = _read(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("v"),
+            F.col("c_nationkey").cast("long").alias("comm"),
+        )
+        supp = _read(spark, sf, "supplier").select(
+            (F.lit(1_000_000) + F.col("s_suppkey")).cast("long").alias("v"),
+            F.col("s_nationkey").cast("long").alias("comm"),
+        )
+        q = modularity(
+            g.edges, cust.unionByName(supp), g.degrees(), directed=True
+        )
+        return spark.createDataFrame([(round(q, 6),)], "modularity_dir double")
+
+    def q_old2new(spark, sf):
+        from grappolo_spark.sources.writers import build_old2new_map
+
+        return build_old2new_map(_nation_assign(spark, sf))
+
+    def q_smart_init(spark, sf):
+        from grappolo_spark.operators.louvain import smart_init_assignment
+
+        return smart_init_assignment(build_cs_graph(spark, sf))
+
     def q_compare(spark, sf):
         cust = _read(spark, sf, "customer")
         c1 = cust.select(
@@ -373,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_following": q_vf,
         "coarsen_nation": q_coarsen,
         "modularity_nation": q_modularity,
+        "modularity_directed": q_modularity_directed,
+        "old2new_map": q_old2new,
+        "louvain_smart_init": q_smart_init,
         "cluster_compare": q_compare,
         "gini_nation": q_gini,
         "louvain_communities": q_louvain,
@@ -613,6 +655,64 @@ rk AS (
 ),
 agg AS (SELECT sum(i * s) AS ws, sum(s) AS tot, count(*) AS k FROM rk)
 SELECT round(2.0 * ws / (k * tot) - (k + 1.0) / k, 6) AS gini FROM agg
+"""
+
+    sql["modularity_directed"] = f"""
+WITH {CS_EDGES_CTE.strip()},
+assign_d AS (
+  SELECT CAST(c_custkey AS BIGINT) AS v, CAST(c_nationkey AS BIGINT) AS comm
+  FROM customer
+  UNION ALL
+  SELECT CAST(1000000 + s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT)
+  FROM supplier
+),
+m AS (SELECT sum(weight) / 2.0 AS m2 FROM cs_raw),
+exx AS (
+  SELECT COALESCE(sum(e.weight), 0.0) AS e_xx
+  FROM cs_raw e
+  JOIN assign_d a1 ON a1.v = e.src
+  JOIN assign_d a2 ON a2.v = e.dst
+  WHERE a1.comm = a2.comm
+),
+deg AS (SELECT src AS v, sum(weight) AS wd FROM cs_raw GROUP BY 1),
+a2x AS (
+  SELECT COALESCE(sum(cd * cd), 0.0) AS a2_x FROM (
+    SELECT a.comm, sum(d.wd) AS cd
+    FROM deg d JOIN assign_d a ON a.v = d.v
+    GROUP BY a.comm
+  )
+)
+SELECT round(e_xx / m2 - a2_x / (m2 * m2), 6) AS modularity_dir
+FROM exx, a2x, m
+"""
+
+    sql["old2new_map"] = f"""
+WITH {NATION_ASSIGN_CTE.strip()}
+SELECT v, CAST(row_number() OVER (ORDER BY comm, v) - 1 AS BIGINT) AS new_id
+FROM assign
+"""
+
+    sql["louvain_smart_init"] = f"""
+WITH {CS_EDGES_CTE.strip()},
+deg AS (SELECT src AS v, sum(weight) AS wd FROM cs_edges GROUP BY 1),
+twom AS (SELECT sum(weight) AS m2 FROM cs_edges),
+cand AS (
+  SELECT e.src, e.dst,
+         2.0 * e.weight - 2.0 * du.wd * dv.wd * (1.0 / (SELECT m2 FROM twom)) AS gain
+  FROM cs_edges e
+  JOIN deg du ON du.v = e.src
+  JOIN deg dv ON dv.v = e.dst
+  WHERE e.src <> e.dst
+),
+best AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY gain DESC, dst ASC) AS rn
+    FROM cand WHERE gain > 0
+  ) WHERE rn = 1 AND dst < src
+)
+SELECT d.v, CAST(COALESCE(b.dst, d.v) AS BIGINT) AS comm
+FROM deg d LEFT JOIN best b ON b.src = d.v
 """
 
     sql["dedup_exact"] = f"""

@@ -42,16 +42,26 @@ from grappolo_spark.graph import Graph
 from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
 
 
-def modularity(edges: DataFrame, assign: DataFrame, degrees: DataFrame) -> float:
-    """Q of a (v, comm) partition over a canonical symmetrized edge table.
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    degrees: DataFrame,
+    directed: bool = False,
+) -> float:
+    """Q of a (v, comm) partition over a canonical edge table.
 
     Implements the formula the reference leaves stubbed in
     `utilityClusterComparisonMetrics.cpp:409-411` using the kernel's own
-    accounting (`parallelLouvainMethod.cpp:244-255`).
+    accounting (`parallelLouvainMethod.cpp:244-255`). With ``directed``
+    the edge table is taken as arcs and the constant doubles to 2/m
+    (`parallelDirectedLouvainMethod.cpp:103-105`); ``degrees`` must then
+    be out-degrees.
     """
     two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
     if two_m == 0:
         return 0.0
+    if directed:
+        two_m /= 2.0  # const = 2/m expressed through the shared 1/two_m path
     a_src = assign.withColumnRenamed("v", "src").withColumnRenamed("comm", "comm_src")
     a_dst = assign.withColumnRenamed("v", "dst").withColumnRenamed("comm", "comm_dst")
     e_xx = (

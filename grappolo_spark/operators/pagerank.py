@@ -30,23 +30,44 @@ def pagerank(
     max_iters: int = 20,
     tol: float | None = None,
     lineage_cut_every: int = 3,
+    broadcast_ranks: bool | None = None,
+    broadcast_max_vertices: int = 5_000_000,
     run_dir: str | None = None,
 ) -> DataFrame:
-    """Return ``(v, rank)``. Deterministic given (graph, alpha, max_iters)."""
+    """Return ``(v, rank)``. Deterministic given (graph, alpha, max_iters).
+
+    ``broadcast_ranks`` picks the physical strategy for the per-superstep
+    ``edges JOIN ranks``:
+
+    - **True** (auto when |V| <= ``broadcast_max_vertices``): the rank
+      table broadcasts, the edge table is hash-partitioned by ``dst``
+      once, and the contribution groupBy(dst) reuses that layout — the
+      superstep moves ZERO edge rows over the network/shuffle disk.
+    - **False** (auto beyond the threshold — a billion-vertex rank table
+      must not be broadcast): the shuffle-join plan, edges co-partitioned
+      on the join key once and reused.
+    """
     spark = g.edges.sparkSession
     verts = g.vertex_ids()
     n = verts.count()
     if n == 0:
         return spark.createDataFrame([], "v long, rank double")
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= broadcast_max_vertices
 
     wout = g.edges.groupBy(F.col("src").alias("v")).agg(F.sum("weight").alias("wout"))
     base = verts.join(wout, "v", "left").select(
         "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
     )
     base = base.persist()
-    # persist as-is: callers co-locate via Graph.partition_by_src (the join
-    # key here), and an already-partitioned cache is reused without shuffle
-    edges = g.edges.persist()
+    if broadcast_ranks:
+        # partition on the AGGREGATION key: with the join side broadcast,
+        # groupBy(dst) then needs no exchange at all
+        edges = g.edges.repartition("dst").persist()
+    else:
+        # persist as-is: callers co-locate via Graph.partition_by_src (the
+        # join key), and an already-partitioned cache is reused shuffle-free
+        edges = g.edges.persist()
 
     runner = SuperstepRunner(spark, run_dir)
     start, resumed = runner.resume()
@@ -68,8 +89,9 @@ def pagerank(
                 ranks.filter(F.col("wout") == 0.0).agg(F.sum("rank")).collect()[0][0]
                 or 0.0
             )
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            edges.join(ranks, edges.src == ranks.v)
+            edges.join(rank_side, edges.src == ranks.v)
             .select(
                 F.col("dst").alias("v"),
                 (F.col("rank") * F.col("weight") / F.col("wout")).alias("c"),

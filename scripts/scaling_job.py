@@ -31,10 +31,20 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--workload", default="pagerank", choices=["pagerank", "ann"])
+    ap.add_argument(
+        "--workload",
+        default="pagerank",
+        choices=["pagerank", "louvain", "ann", "ann_np"],
+    )
     ap.add_argument("--ann-rows", type=int, default=6000)
     ap.add_argument("--ann-dim", type=int, default=128)
     args = ap.parse_args()
+
+    # pin per-task BLAS to one thread BEFORE numpy loads anywhere: a
+    # multi-threaded BLAS would let the "2-core" run borrow idle cores
+    # inside each task and invalidate the strong-scaling comparison
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
 
     from pyspark.sql import functions as F
 
@@ -57,6 +67,57 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.workload == "ann_np":
+        # the scale ANN kernel (broadcast queries, distributed corpus scan,
+        # one single-threaded BLAS matmul per Arrow batch): FLOP-dense and
+        # cache-blocked, so per-core compute dominates — the workload that
+        # shows what the box gives when the shared DRAM bus is NOT the
+        # bottleneck
+        from grappolo_spark.functions.similarity_fast import cosine_topk_sharded
+
+        dims = [
+            (
+                F.pmod(F.xxhash64("id", F.lit(args.seed + d)), F.lit(2000)).cast("float")
+                / 1000.0
+                - 1.0
+            ).alias(f"x{d}")
+            for d in range(args.ann_dim)
+        ]
+        emb = (
+            spark.range(args.ann_rows)
+            .select(F.col("id").alias("vec_id"), *dims)
+            .select(
+                "vec_id",
+                F.array(*[f"x{d}" for d in range(args.ann_dim)]).alias("embedding"),
+            )
+            .repartition(args.partitions)
+            .persist()
+        )
+        n_rows = emb.count()
+        q = emb.filter(F.col("vec_id") % 20 == 0)
+        t0 = time.time()
+        n_out = cosine_topk_sharded(emb, k=5, queries=q).count()
+        dt = time.time() - t0
+        n_q = n_rows // 20
+        pairs = n_q * (n_rows - 1)
+        print(
+            json.dumps(
+                {
+                    "cpus": args.cpus,
+                    "workload": "ann_np",
+                    "rows": n_rows,
+                    "queries": n_q,
+                    "pairs_scored": pairs,
+                    "topk_rows": n_out,
+                    "seconds": round(dt, 3),
+                    "pairs_per_sec": round(pairs / dt, 1),
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+        os._exit(0)
 
     if args.workload == "ann":
         # compute-bound kernel: brute-force cosine top-k over synthetic
@@ -120,6 +181,36 @@ def main() -> int:
     edges = g.edges.repartition(args.partitions, "src").persist()
     n_edges = edges.count()  # materialize the build outside the timed window
     g = Graph(edges=edges)
+
+    if args.workload == "louvain":
+        # the flagship superstep (north rule: "edges/sec per superstep and
+        # modularity convergence"): gather + community agg + gain argmax —
+        # more compute per edge byte than pagerank, so per-core compute
+        # rather than the box's single DRAM bus dominates
+        from grappolo_spark.operators.louvain import louvain_one_phase
+
+        t0 = time.time()
+        res = louvain_one_phase(g, max_iters=args.iters, thresh=-1e9)
+        res.assignment.count()
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cpus": args.cpus,
+                    "workload": "louvain",
+                    "edges": n_edges,
+                    "vertices": args.vertices,
+                    "iters": res.iterations,
+                    "seconds": round(dt, 3),
+                    "edges_per_sec_superstep": round(
+                        n_edges * res.iterations / dt, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+        os._exit(0)
 
     t0 = time.time()
     pr = pagerank(g, max_iters=args.iters, lineage_cut_every=3)

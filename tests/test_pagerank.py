@@ -39,3 +39,14 @@ def test_pagerank_dangling_directed(spark):
         [out[v] for v in sorted(out)], [oracle[v] for v in sorted(out)], atol=1e-6
     )
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_broadcast_plan_matches_shuffle_plan(spark):
+    from grappolo_spark.sources import fixtures
+
+    g = fixtures.karate(spark)
+    a = {r.v: r.rank for r in pagerank(g, max_iters=8, broadcast_ranks=True).collect()}
+    b = {r.v: r.rank for r in pagerank(g, max_iters=8, broadcast_ranks=False).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
