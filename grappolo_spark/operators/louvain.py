@@ -136,6 +136,235 @@ def smart_init_assignment(g: Graph) -> DataFrame:
     )
 
 
+def louvain_one_phase_local(
+    g: Graph,
+    thresh: float = 1e-6,
+    lower: float = -1.0,
+    max_iters: int = 1000,
+) -> LouvainPhaseResult:
+    """The SAME Jacobi kernel, executed driver-locally in numpy.
+
+    Multi-phase coarsening shrinks the graph geometrically; past phase 1-2
+    the coarse graph is a few thousand rows and every distributed superstep
+    is pure fixed overhead (2 Spark jobs for microseconds of math). This
+    kernel collects the edge table once and replays the identical
+    iteration: same gather, same gain ``2*(eiy−eix) − 2*deg*(ay−ax)/2m``,
+    same (gain desc, cand asc) tie-break, same community-id swap
+    protection, same pre-move modularity and termination — the counterpart
+    of the reference keeping later phases hot in cache
+    (`runMultiPhaseBasic.cpp:52-170`). With integer-valued weights (all
+    coarse graphs built from count weights) the arithmetic is exact, so
+    results are bit-identical to the distributed kernel; with real weights
+    partial-sum order may differ in the last ulp (documented).
+    Plain kernel only — callers fall back to the distributed path for
+    sampling / early-termination / FTR / coloring variants.
+    """
+    import numpy as np
+
+    src, dst, w = _collect_edges_np(g)
+    spark = g.edges.sparkSession
+    if len(src) == 0:
+        return LouvainPhaseResult(
+            spark.createDataFrame([], "v long, comm long"), 0.0, 0
+        )
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    prev_comm, prev_mod, num_itrs = _local_kernel(
+        s, d, w, len(ids), g.directed, thresh, lower, max_iters
+    )
+    if prev_comm is None:
+        return LouvainPhaseResult(
+            spark.createDataFrame([], "v long, comm long"), 0.0, 0
+        )
+    import pandas as pd
+
+    out = spark.createDataFrame(
+        pd.DataFrame({"v": ids, "comm": ids[prev_comm]}), "v long, comm long"
+    )
+    return LouvainPhaseResult(out, prev_mod, num_itrs)
+
+
+def _collect_edges_np(g: Graph):
+    """Edge table -> numpy columns via one Arrow transfer (collect() walks
+    py4j row objects — ~10x slower at a million rows)."""
+    import numpy as np
+
+    pdf = g.edges.select("src", "dst", "weight").toPandas()
+    return (
+        pdf["src"].to_numpy(dtype=np.int64),
+        pdf["dst"].to_numpy(dtype=np.int64),
+        pdf["weight"].to_numpy(dtype=np.float64),
+    )
+
+
+def _local_kernel(s, d, w, nv, directed, thresh, lower, max_iters):
+    """Index-space core of the local kernel (ids must be 0..nv-1).
+    Returns (prev_comm array | None when 2m==0, prev_mod, iterations)."""
+    import numpy as np
+
+    vdeg = np.bincount(s, weights=w, minlength=nv)
+    selfw = np.bincount(s[s == d], weights=w[s == d], minlength=nv)
+    two_m = float(w.sum())
+    if two_m == 0.0:
+        return None, 0.0, 0
+    const = (2.0 if directed else 1.0) / two_m
+
+    comm = np.arange(nv, dtype=np.int64)
+    prev_comm = comm
+    prev_mod = -1.0
+    num_itrs = 0
+    for _ in range(max_iters):
+        num_itrs += 1
+        cdeg = np.bincount(comm, weights=vdeg, minlength=nv)
+        csize = np.bincount(comm, minlength=nv)
+        # gather: sum weight per (src, comm[dst]) via a packed int64 key
+        key = s * nv + comm[d]
+        uk, inv = np.unique(key, return_inverse=True)
+        wsum = np.bincount(inv, weights=w)
+        gv = (uk // nv).astype(np.int64)
+        gc = (uk % nv).astype(np.int64)
+        own = gc == comm[gv]
+        w_own = np.zeros(nv)
+        w_own[gv[own]] = wsum[own]
+
+        e_xx = float(w_own.sum())
+        a2_x = float((cdeg * cdeg).sum())
+        curr_mod = e_xx * const - a2_x * const * const
+        if (curr_mod - prev_mod) < thresh:
+            break
+
+        cand_mask = ~own
+        cv, cc, cw = gv[cand_mask], gc[cand_mask], wsum[cand_mask]
+        eix = w_own[cv] - selfw[cv]
+        ax = cdeg[comm[cv]] - vdeg[cv]
+        ay = cdeg[cc]
+        gain = 2.0 * (cw - eix) - 2.0 * vdeg[cv] * (ay - ax) * const
+        pos = gain > 0
+        cv, cc, gain = cv[pos], cc[pos], gain[pos]
+        best = np.full(nv, -1, dtype=np.int64)
+        if len(cv):
+            order = np.lexsort((cc, -gain, cv))
+            first = np.unique(cv[order], return_index=True)[1]
+            pick_v = cv[order][first]
+            pick_c = cc[order][first]
+            blocked = (
+                (csize[pick_c] == 1)
+                & (csize[comm[pick_v]] == 1)
+                & (pick_c > comm[pick_v])
+            )
+            best[pick_v[~blocked]] = pick_c[~blocked]
+
+        prev_mod = curr_mod if curr_mod > lower else lower
+        prev_comm = comm
+        comm = np.where(best >= 0, best, comm)
+    return prev_comm, prev_mod, num_itrs
+
+
+def louvain_local_tail(
+    g: Graph,
+    threshold: float = 1e-6,
+    curr_mod: float = -1.0,
+    phase_start: int = 1,
+    tot_itr_start: int = 0,
+    max_phases: int = 200,
+    max_total_iters: int = 100_000,
+):
+    """Run ALL remaining multiphase phases driver-locally: one collect, one
+    createDataFrame, zero intermediate Spark jobs.
+
+    Exact mirror of the distributed multiphase loop (kernel → min-member
+    renumber → C_orig fold → coarsen with zero-weight self-loop
+    placeholders → gain check, `runMultiPhaseBasic.cpp:52-170`), in numpy
+    index space. Returns (assignment DF over g's vertex ids with dense
+    community labels, prev_mod, num_clusters, phase, tot_itr, history).
+    """
+    import numpy as np
+
+    spark = g.edges.sparkSession
+    src, dst, ww = _collect_edges_np(g)
+    ids = (
+        np.unique(np.concatenate([src, dst]))
+        if len(src)
+        else np.array([], dtype=np.int64)
+    )
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    nv0 = len(ids)
+
+    c_orig = np.arange(nv0, dtype=np.int64)
+    prev_mod = -1.0
+    phase = phase_start
+    tot_itr = tot_itr_start
+    num_clusters = 0
+    history = []
+    cur_s, cur_d, cur_w, cur_n = s, d, ww, nv0
+
+    while True:
+        prev_mod = curr_mod
+        comm, q, iters = _local_kernel(
+            cur_s, cur_d, cur_w, cur_n, g.directed, threshold, curr_mod, 1000
+        )
+        if comm is None:
+            break
+        curr_mod = q
+        tot_itr += iters
+
+        # renumber contiguously: rank communities by their minimum member
+        firsts = np.full(cur_n, cur_n, dtype=np.int64)
+        np.minimum.at(firsts, comm, np.arange(cur_n, dtype=np.int64))
+        used = np.where(firsts < cur_n)[0]
+        order = used[np.argsort(firsts[used])]
+        remap = np.zeros(cur_n, dtype=np.int64)
+        remap[order] = np.arange(len(order), dtype=np.int64)
+        assign = remap[comm]
+        num_clusters = len(order)
+
+        c_orig = assign[c_orig]
+        history.append(
+            {
+                "phase": phase,
+                "modularity": curr_mod,
+                "clusters": num_clusters,
+                "iterations": iters,
+                "vertices": cur_n,
+                "colored": False,
+                "local": True,
+            }
+        )
+        if phase > max_phases or tot_itr > max_total_iters:
+            break
+        if (curr_mod - prev_mod) > threshold:
+            # coarsen: fold edges through assign; guarantee a self-loop row
+            # per cluster (weight 0 placeholders, `buildNextPhase.cpp:120-127`)
+            k = num_clusters
+            ns, nd = assign[cur_s], assign[cur_d]
+            key = ns * k + nd
+            uk, inv = np.unique(key, return_inverse=True)
+            nw = np.bincount(inv, weights=cur_w)
+            ns, nd = (uk // k).astype(np.int64), (uk % k).astype(np.int64)
+            missing = np.setdiff1d(
+                np.arange(k, dtype=np.int64), ns[ns == nd], assume_unique=False
+            )
+            cur_s = np.concatenate([ns, missing])
+            cur_d = np.concatenate([nd, missing])
+            cur_w = np.concatenate([nw, np.zeros(len(missing))])
+            cur_n = k
+            phase += 1
+        else:
+            break
+
+    import pandas as pd
+
+    if nv0:
+        out = spark.createDataFrame(
+            pd.DataFrame({"v": ids, "comm": c_orig}), "v long, comm long"
+        )
+    else:
+        out = spark.createDataFrame([], "v long, comm long")
+    return out, prev_mod, num_clusters, phase, tot_itr, history
+
+
 def louvain_one_phase(
     g: Graph,
     thresh: float = 1e-6,

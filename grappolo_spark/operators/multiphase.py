@@ -114,6 +114,7 @@ def louvain(
     max_total_iters: int = 100_000,
     coloring: bool = False,
     num_colors_cap: int = 1024,
+    local_threshold: int = 2_000_000,
     vertex_following: bool = False,
     sample_fraction: float | None = None,
     seed: int = 12345,
@@ -136,12 +137,22 @@ def louvain(
     ``smart_init=True`` warm-starts each plain phase with the one-pass
     all-singleton sweep (``initCommAssOpt``,
     `Utility/utilityClusteringFunctions.cpp:108-169`).
+    ``local_threshold``: coarse phases whose EDGE-ROW count drops below it
+    run the IDENTICAL kernel driver-locally in numpy
+    (:func:`louvain_local_tail`) — distributed supersteps over a
+    small coarse graph are pure fixed job overhead, the Spark analogue of
+    the reference keeping later phases in cache. 0 disables. Variant flags
+    (sampling / early-terminate / FTR / coloring / run_dir resumability)
+    always take the distributed path.
     Directed graphs (``Graph(directed=True)``) run the directed kernel
     (constant 2/m) and coarsen without symmetrizing — the
     `runDirectedMultiPhaseBasic.cpp:52-170` driver.
     """
     from grappolo_spark.operators.coloring import louvain_one_phase_colored
-    from grappolo_spark.operators.louvain import smart_init_assignment
+    from grappolo_spark.operators.louvain import (
+        louvain_local_tail,
+        smart_init_assignment,
+    )
     from grappolo_spark.operators.vertex_following import (
         apply_vertex_following,
         vertex_following_map,
@@ -177,6 +188,43 @@ def louvain(
     while True:
         nv = prev_k if prev_k is not None else cur_g.num_vertices()
         use_coloring = coloring and nv > min_graph_size
+        use_local = (
+            not use_coloring
+            and local_threshold > 0
+            and cur_g.vertices is None  # explicit isolated vertices need
+            # the degrees()-based distributed init
+            and sample_fraction is None
+            and not early_terminate
+            and not fast_track_resistance
+            and run_dir is None
+            # edge rows, not vertices: the collect and the numpy sorts
+            # scale with rows (one cheap count against the cut parquet)
+            and cur_g.edges.count() <= local_threshold
+        )
+        if use_local:
+            # all remaining phases in one driver-local numpy loop: one
+            # collect in, one DataFrame out — the coarse graphs are a few
+            # thousand rows and distributed supersteps would be pure
+            # fixed job overhead
+            (
+                tail_assign, prev_mod, num_clusters, phase, tot_itr, tail_hist
+            ) = louvain_local_tail(
+                cur_g,
+                threshold=threshold,
+                curr_mod=curr_mod,
+                phase_start=phase,
+                tot_itr_start=tot_itr,
+                max_phases=max_phases,
+                max_total_iters=max_total_iters,
+            )
+            history.extend(tail_hist)
+            phase_maps.append(
+                tail_assign.select(
+                    F.col("v").alias("comm"), F.col("comm").alias("next_comm")
+                )
+            )
+            break
+
         phase_thresh = c_threshold if use_coloring else threshold
         prev_mod = curr_mod
         if use_coloring:

@@ -183,3 +183,49 @@ def test_lineage_cut_cadence_invariant(spark):
     a = {(r.v, r.comm) for r in r1.assignment.collect()}
     b = {(r.v, r.comm) for r in r3.assignment.collect()}
     assert a == b
+
+
+def test_local_kernel_bit_parity_karate(spark):
+    from grappolo_spark.operators.louvain import louvain_one_phase_local
+
+    g = fixtures.karate(spark)
+    dist = louvain_one_phase(g)
+    loc = louvain_one_phase_local(g)
+    # integer weights -> exact arithmetic -> bit-identical trajectory
+    assert loc.modularity == dist.modularity
+    assert loc.iterations == dist.iterations
+    a = {r.v: r.comm for r in dist.assignment.collect()}
+    b = {r.v: r.comm for r in loc.assignment.collect()}
+    assert a == b
+
+
+def test_multiphase_local_tail_equivalent(spark):
+    for gfn in (
+        lambda: fixtures.karate(spark),
+        lambda: fixtures.planted_partition(spark, blocks=4, block_size=12)[0],
+    ):
+        g = gfn()
+        dist = louvain(g, local_threshold=0)       # force distributed
+        loc = louvain(g, local_threshold=10**9)    # force local tail
+        assert loc.modularity == dist.modularity
+        assert loc.num_clusters == dist.num_clusters
+        a = {r.v: r.comm for r in dist.assignment.collect()}
+        b = {r.v: r.comm for r in loc.assignment.collect()}
+        assert a == b
+
+
+def test_multiphase_local_tail_directed(spark):
+    group_a, group_b = [0, 1, 2], [3, 4, 5]
+    pairs = [(u, v) for u in group_a for v in group_a if u != v]
+    pairs += [(u, v) for u in group_b for v in group_b if u != v]
+    pairs += [(2, 3)]
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in pairs], "src long, dst long, weight double"
+    )
+    g = Graph.from_edgelist(e, directed=True)
+    dist = louvain(g, threshold=1e-9, local_threshold=0)
+    loc = louvain(g, threshold=1e-9, local_threshold=10**9)
+    assert loc.modularity == dist.modularity
+    a = {r.v: r.comm for r in dist.assignment.collect()}
+    b = {r.v: r.comm for r in loc.assignment.collect()}
+    assert a == b
