@@ -297,6 +297,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return smart_init_assignment(build_cs_graph(spark, sf))
 
+    def q_corpus_edges(spark, sf):
+        # end-to-end corpus front door (north_star): a deterministic
+        # code-file table derived from documents (each doc = one python
+        # file importing two arithmetically-chosen modules), pushed through
+        # the REAL pipeline — Arrow-UDF link extraction with the sha256
+        # per-row invariant enforced, module-resolution join, SNAP-style
+        # densify, canonical symmetrize. The oracle rebuilds the same graph
+        # in SQL with regexp extraction.
+        from grappolo_spark.sources.corpus import build_graph_from_corpus
+
+        docs = _read(spark, sf, "documents").select("doc_id")
+        n = docs.count()
+        corpus = docs.select(
+            F.lit("org/corpus").alias("repo"),
+            F.concat(
+                F.lit("src/pkg_"), F.col("doc_id").cast("string"), F.lit("/mod.py")
+            ).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(
+                F.lit("# gen\n"),
+                F.lit("import pkg_"),
+                ((F.col("doc_id") * 7) % n).cast("string"),
+                F.lit(".mod\n"),
+                F.lit("import pkg_"),
+                ((F.col("doc_id") * 13 + 1) % n).cast("string"),
+                F.lit(".mod\n"),
+            ).alias("content"),
+        )
+        _vm, g = build_graph_from_corpus(corpus)
+        return g.edges.select("src", "dst", "weight")
+
     def q_compare(spark, sf):
         cust = _read(spark, sf, "customer")
         c1 = cust.select(
@@ -413,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_nation": q_coarsen,
         "modularity_nation": q_modularity,
         "modularity_directed": q_modularity_directed,
+        "corpus_edges": q_corpus_edges,
         "old2new_map": q_old2new,
         "louvain_smart_init": q_smart_init,
         "cluster_compare": q_compare,
@@ -684,6 +717,44 @@ a2x AS (
 )
 SELECT round(e_xx / m2 - a2_x / (m2 * m2), 6) AS modularity_dir
 FROM exx, a2x, m
+"""
+
+    sql["corpus_edges"] = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+files AS (
+  SELECT doc_id,
+         'org/corpus::src/pkg_' || doc_id || '/mod.py' AS id,
+         'pkg_' || doc_id || '/mod' AS module,
+         '# gen' || chr(10) ||
+         'import pkg_' || ((doc_id * 7) % (SELECT c FROM n)) || '.mod' || chr(10) ||
+         'import pkg_' || ((doc_id * 13 + 1) % (SELECT c FROM n)) || '.mod' || chr(10)
+           AS content
+  FROM documents
+),
+refs AS (
+  SELECT id AS src_id,
+         replace(unnest(regexp_extract_all(content,
+                 'import ([A-Za-z_][0-9A-Za-z_.]*)', 1)), '.', '/') AS ref
+  FROM files
+),
+pairs AS (
+  SELECT r.src_id, f.id AS dst_id
+  FROM refs r JOIN files f ON r.ref = f.module
+  WHERE r.src_id <> f.id
+),
+canon AS (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM pairs
+),
+ids AS (SELECT DISTINCT x AS ext FROM (SELECT a AS x FROM canon UNION ALL SELECT b FROM canon)),
+vm AS (SELECT ext, CAST(row_number() OVER (ORDER BY ext) - 1 AS BIGINT) AS v FROM ids),
+dcan AS (
+  SELECT va.v AS src, vb.v AS dst
+  FROM canon JOIN vm va ON va.ext = canon.a JOIN vm vb ON vb.ext = canon.b
+)
+SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM dcan
+UNION ALL
+SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) AS weight FROM dcan WHERE src <> dst
 """
 
     sql["old2new_map"] = f"""

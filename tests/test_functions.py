@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 from grappolo_spark.functions.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_buckets,
 )
@@ -143,3 +144,96 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     rows = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
     assert rows.get((0, 100)) == 1.0
     assert set(rows) == {(0, 100)}  # candidate set stayed linear
+
+
+def _py_shingles(text, n=3):
+    import re as _re
+
+    toks = _re.findall("[A-Za-z0-9_]+", text.lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_minhash_signatures_value_oracle(spark):
+    """Value-level oracle for the xxhash64 MinHash sketch (rows-only in the
+    driver check — DuckDB has no xxhash64): an independent pure-python XXH64
+    reimplementation must reproduce every signature exactly."""
+    from tests.xxh64_oracle import spark_xxhash64
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+    )
+    num_hashes, seed = 8, 7
+    got = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(docs, num_hashes=num_hashes, seed=seed).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    for r in rows:
+        sh = _py_shingles(r.text)
+        expect = [
+            min(spark_xxhash64(s, seed + i) for s in sh) for i in range(num_hashes)
+        ]
+        assert got[r.doc_id] == expect
+
+
+def test_simhash_value_oracle(spark):
+    from tests.xxh64_oracle import spark_xxhash64
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+    )
+    bits, band_bits, seed = 48, 12, 11
+    got = {r.id: r.simhash for r in simhash_buckets(docs, bits=bits, seed=seed).collect()}
+    import re as _re
+
+    for r in docs.select("doc_id", "text").collect():
+        toks = set(_re.findall("[A-Za-z0-9_]+", r.text.lower()))
+        votes = [0] * bits
+        for t in toks:
+            h = spark_xxhash64(t, seed) & ((1 << 64) - 1)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        expect = sum(1 << i for i in range(bits) if votes[i] > 0)
+        assert got[r.doc_id] == expect
+
+
+def test_minhash_lsh_pairs_value_oracle(spark):
+    from tests.xxh64_oracle import spark_xxhash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 30
+    )
+    num_hashes, bands, seed, threshold = 16, 4, 7, 0.25
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=num_hashes, bands=bands, threshold=threshold, seed=seed
+        ).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    sigs = {}
+    for r in rows:
+        sh = _py_shingles(r.text)
+        sigs[r.doc_id] = [
+            min(spark_xxhash64(s, seed + i) for s in sh) for i in range(num_hashes)
+        ]
+    rpb = num_hashes // bands
+    buckets = {}
+    for did, sig in sigs.items():
+        for b in range(bands):
+            key = ",".join(str(sig[b * rpb + k]) for k in range(rpb))
+            buckets.setdefault((b, spark_xxhash64(key)), []).append(did)
+    cands = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = sorted((members[i], members[j]))
+                cands.add((a, b))
+    expect = {}
+    for a, b in cands:
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_hashes
+        if est >= threshold:
+            expect[(a, b)] = est
+    assert got == expect
