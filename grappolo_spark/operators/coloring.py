@@ -192,6 +192,7 @@ def louvain_one_phase_colored(
     lower: float = -1.0,
     max_iters: int = 100,
     num_colors_cap: int = 1024,
+    coloring_algo: str = "distance_one",
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """One Louvain level, sweeping color classes sequentially.
@@ -199,9 +200,22 @@ def louvain_one_phase_colored(
     Same gain/tie-break/swap math as the plain kernel; community info is
     refreshed after each color class, so vertices in later classes see
     earlier classes' moves within the same iteration (Gauss-Seidel).
+
+    ``coloring_algo="multihash"`` bounds the palette a priori (the
+    Jones-Plassmann variant emits at most ``2*nhash*nrounds + 1`` colors
+    regardless of degree), so an iteration runs a FIXED number of
+    driver-coordinated sub-sweeps even on hub graphs — the scale choice
+    when the exact chromatic sweep of ``distance_one`` would mean
+    thousands of sequential classes. Its shared overflow color may contain
+    adjacent vertices; that class's sub-sweep is then Jacobi (simultaneous
+    moves against current state — the plain kernel's semantics), exactly
+    like the ``num_colors_cap`` overflow merge below.
     """
     spark = g.edges.sparkSession
-    colors = distance_one_coloring(g)
+    if coloring_algo == "multihash":
+        colors = multihash_coloring(g)
+    else:
+        colors = distance_one_coloring(g)
     all_colors = [
         r.color
         for r in colors.select("color").distinct().orderBy("color").collect()

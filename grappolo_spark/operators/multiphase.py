@@ -114,6 +114,7 @@ def louvain(
     max_total_iters: int = 100_000,
     coloring: bool = False,
     num_colors_cap: int = 1024,
+    coloring_algo: str = "distance_one",
     local_threshold: int = 2_000_000,
     vertex_following: bool = False,
     sample_fraction: float | None = None,
@@ -231,6 +232,7 @@ def louvain(
             res = louvain_one_phase_colored(
                 cur_g, thresh=phase_thresh, lower=curr_mod,
                 num_colors_cap=num_colors_cap,
+                coloring_algo=coloring_algo,
                 run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
             )
         else:

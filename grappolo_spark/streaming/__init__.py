@@ -6,9 +6,12 @@ from grappolo_spark.streaming.incremental import (
     stream_windowed_events_to_parquet,
     windowed_event_counts,
 )
+from grappolo_spark.streaming.sessions import py_sessionize, sessionize
 
 __all__ = [
     "incremental_degrees",
+    "py_sessionize",
+    "sessionize",
     "stream_edge_batches",
     "stream_windowed_events_to_parquet",
     "windowed_event_counts",

@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--min-graph-size", type=int, default=100_000)
     ap.add_argument("--coloring", action="store_true")
     ap.add_argument("--vertex-following", action="store_true")
+    ap.add_argument("--smart-init", action="store_true",
+                    help="initCommAssOpt warm start per phase")
+    ap.add_argument("--directed", action="store_true",
+                    help="treat --input as directed arcs (no symmetrize)")
     ap.add_argument("--early-terminate", action="store_true")
     ap.add_argument("--sample-fraction", type=float, default=None)
     ap.add_argument("--max-iters", type=int, default=20)
@@ -58,7 +62,7 @@ def main() -> int:
         vertex_map, g = build_graph_from_corpus(corpus)
         vertex_map.write.mode("overwrite").parquet(args.output + "_vertex_map")
     elif args.input:
-        g = Graph(edges=spark.read.parquet(args.input))
+        g = Graph(edges=spark.read.parquet(args.input), directed=args.directed)
     else:
         ap.error("one of --input / --corpus is required")
     if args.partitions:
@@ -78,6 +82,7 @@ def main() -> int:
             vertex_following=args.vertex_following,
             early_terminate=args.early_terminate,
             sample_fraction=args.sample_fraction,
+            smart_init=args.smart_init,
             run_dir=args.run_dir,
         )
         res.assignment.write.mode("overwrite").parquet(args.output)

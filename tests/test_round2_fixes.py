@@ -229,3 +229,21 @@ def test_multiphase_local_tail_directed(spark):
     a = {r.v: r.comm for r in dist.assignment.collect()}
     b = {r.v: r.comm for r in loc.assignment.collect()}
     assert a == b
+
+
+def test_colored_louvain_multihash_bounded_palette(spark):
+    # multihash coloring bounds the sub-sweep count regardless of degree:
+    # on the hub fixture (hub degree 60) the palette stays <= 17 classes
+    # and the sweep still finds community structure
+    from grappolo_spark.operators.coloring import (
+        louvain_one_phase_colored,
+        multihash_coloring,
+    )
+
+    g = fixtures.star_hub(spark, leaves=60, chords=10)
+    ncolors = multihash_coloring(g).select("color").distinct().count()
+    assert ncolors <= 2 * 2 * 4 + 1
+    res = louvain_one_phase_colored(
+        g, thresh=1e-6, coloring_algo="multihash"
+    )
+    assert res.modularity > 0.0
