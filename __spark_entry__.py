@@ -431,6 +431,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         return S.lsh_cosine_topk(emb, k=5, num_planes=6, num_tables=4)
 
+    def q_ann_ivf(spark, sf):  # rows-only (float centroids not SQL-stable)
+        from grappolo_spark.functions.ivf import ivf_cosine_topk
+
+        emb = _read(spark, sf, "embeddings")
+        return ivf_cosine_topk(
+            emb, k=5, num_cells=16, nprobe=4,
+            queries=emb.filter(F.col("vec_id") % 10 == 0),
+        )
+
+    def q_dedup_embedding(spark, sf):
+        # embedding-cosine near-dup tier (exact baseline, SQL-oracled)
+        from grappolo_spark.functions.similarity_fast import (
+            embedding_near_dup_pairs,
+        )
+
+        return embedding_near_dup_pairs(
+            _read(spark, sf, "embeddings"), threshold=0.3, method="exact"
+        )
+
     return {
         "cs_edges": q_cs_edges,
         "degree_stats": q_degree_stats,
@@ -461,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 
@@ -888,6 +909,26 @@ rk AS (
   FROM cos
 )
 SELECT query_id, neighbor_id, cosine FROM rk WHERE rn <= 5
+"""
+
+    sql["dedup_embedding"] = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = ia
+JOIN norms nb ON nb.vec_id = ib
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
 """
 
     return sql

@@ -138,3 +138,95 @@ def cosine_topk_sharded(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    num_planes: int = 10,
+    num_tables: int = 4,
+    seed: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, cosine) with id_a < id_b and cosine >= threshold —
+    the embedding-cosine near-duplicate tier of the dedup family.
+
+    - ``method="exact"``: the oracle baseline. The normalized corpus
+      broadcasts; every corpus Arrow batch scores itself against it with
+      one BLAS matmul and emits only the >= threshold pairs, so the O(N^2)
+      scoring is distributed and the OUTPUT (near-dup pairs, sparse by
+      construction) is what shuffles. Bounded by the broadcast like
+      ``cosine_topk_np`` — fine to ~10M x 128.
+    - ``method="lsh"``: the scale path. Multi-table SRP buckets generate
+      candidates (equi-join, never all-pairs), exact cosine verifies the
+      threshold; recall follows the OR-amplified collision probability.
+    """
+    if method == "lsh":
+        from grappolo_spark.functions.similarity import _DOT, _NORM, srp_buckets
+
+        cand = None
+        for t in range(num_tables):
+            b = srp_buckets(df, id_col, vec_col, num_planes, seed + 101 * t)
+            a = b.select(F.col("id").alias("id_a"), "bucket")
+            c = (
+                a.join(b.select(F.col("id").alias("id_b"), "bucket"), "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            cand = c if cand is None else cand.unionByName(c)
+        cand = cand.distinct()
+        va = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            F.expr(_NORM.format(a=vec_col)).alias("_na"),
+        )
+        vb = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            F.expr(_NORM.format(a=vec_col)).alias("_nb"),
+        )
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.expr(_DOT.format(a="_va", b="_vb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_norms = bc.value
+        for b in batches:
+            qids = b[id_col].to_numpy(dtype=np.int64)
+            qmat = np.array(list(b[vec_col]), dtype=np.float64)
+            if qmat.size == 0:
+                continue
+            qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+            cos = np.round((qmat @ c_mat.T) / np.outer(qnorms, c_norms), 6)
+            qi, cj = np.nonzero((cos >= threshold) & (qids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[qi],
+                    "id_b": c_ids[cj],
+                    "cosine": cos[qi, cj],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cosine double"
+    )

@@ -71,3 +71,69 @@ def test_lsh_multi_table_recall(spark):
     r1, r6 = recall(1), recall(6)
     assert r6 >= r1
     assert r6 >= 0.9
+
+
+def _clustered_embeddings(spark, clusters=10, members=8, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.rand(clusters, dim)
+    rows = []
+    for c in range(clusters):
+        for m in range(members):
+            v = base[c] + 0.01 * rng.rand(dim)
+            rows.append((c * members + m, v.astype("float32").tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_exact_matches_bruteforce(spark):
+    from grappolo_spark.functions.similarity_fast import embedding_near_dup_pairs
+
+    df = _clustered_embeddings(spark).repartition(5)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(df, threshold=0.99, method="exact").collect()
+    }
+    # brute-force python oracle with identical rounding
+    rows = df.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    cos = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cos[i, j] >= 0.99:
+                expect[(ids[i], ids[j])] = cos[i, j]
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    from grappolo_spark.functions.similarity_fast import embedding_near_dup_pairs
+
+    df = _clustered_embeddings(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.99, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, method="lsh", num_planes=10, num_tables=6
+        ).collect()
+    }
+    assert lsh <= exact  # exact verification: no false positives
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from grappolo_spark.functions.ivf import ivf_cosine_topk
+
+    df = _clustered_embeddings(spark, clusters=12, members=8)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(df, k=5).collect()
+    }
+    got1 = ivf_cosine_topk(df, k=5, num_cells=8, nprobe=3).collect()
+    got2 = ivf_cosine_topk(df, k=5, num_cells=8, nprobe=3).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))  # deterministic
+    ivf = {(r.query_id, r.neighbor_id) for r in got1}
+    assert len(ivf & exact) / len(exact) >= 0.9
