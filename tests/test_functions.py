@@ -9,6 +9,8 @@ from grappolo_spark.functions.dedup import (
     simhash_buckets,
 )
 from grappolo_spark.functions.multimodal import (
+    resize_images,
+    sample_frames,
     extract_features,
     frame_sample_plan,
     synthesize_media,
@@ -118,16 +120,64 @@ def test_lsh_topk_subset_of_brute_force_scores(spark):
 
 
 def test_multimodal_plumbing(spark):
+    import numpy as np
+
     media = synthesize_media(spark, n=12)
-    feats = extract_features(media, dim=8)
+    feats = extract_features(media)
     rows = feats.collect()
     assert len(rows) == 12
-    assert all(len(r.feature) == 8 for r in rows)
+    assert all(len(r.feature) == 16 for r in rows)
+    # image histograms are REAL: recompute one in numpy and compare
+    img_row = media.filter("mime = 'image/raw8'").limit(1).collect()[0]
+    img = np.frombuffer(bytes(img_row.payload), dtype=np.uint8)
+    expect = np.bincount(img >> 4, minlength=16) / img.size
+    got = {r.media_id: r.feature for r in rows}[img_row.media_id]
+    assert np.allclose(got, expect, atol=1e-6)
+    # audio DSP is REAL: RMS of the sine payload ~ amplitude/sqrt(2)
+    aud_row = media.filter("mime = 'audio/pcm16'").limit(1).collect()[0]
+    rms = {r.media_id: r.feature[0] for r in rows}[aud_row.media_id]
+    assert abs(rms - (10000 / 32768.0) / np.sqrt(2)) < 0.01
     # deterministic: same payload -> same feature
-    again = {r.media_id: r.feature for r in extract_features(media, dim=8).collect()}
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
     plan = frame_sample_plan(media, every_ms=250)
     assert plan.groupBy("media_id").count().collect()[0]["count"] == 4  # 1000ms/250
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    import numpy as np
+
+    media = synthesize_media(spark, n=12)
+    # block-mean resize: verify one image against a numpy downsample
+    px = {r.media_id: r.pixels for r in resize_images(media, 8, 8).collect()}
+    img_row = media.filter("mime = 'image/raw8'").limit(1).collect()[0]
+    img = np.frombuffer(bytes(img_row.payload), dtype=np.uint8).reshape(16, 16)
+    expect = img.reshape(8, 2, 8, 2).mean(axis=(1, 3)).reshape(-1) / 255.0
+    assert np.allclose(px[img_row.media_id], expect, atol=1e-6)
+    # frame extraction slices the RIGHT frame: ts=400ms @5fps -> frame 2
+    frames = sample_frames(media, every_ms=200)
+    vid_row = media.filter("mime = 'video/raw8'").limit(1).collect()[0]
+    fsz = 16 * 16
+    f2 = np.frombuffer(
+        bytes(vid_row.payload)[2 * fsz : 3 * fsz], dtype=np.uint8
+    )
+    expect2 = np.bincount(f2 >> 4, minlength=16) / f2.size
+    got2 = [
+        r.feature
+        for r in frames.filter(
+            (F.col("media_id") == vid_row.media_id) & (F.col("frame_ts_ms") == 400)
+        ).collect()
+    ][0]
+    assert np.allclose(got2, expect2, atol=1e-6)
+
+
+def test_multimodal_external_codec_boundary(spark):
+    import pytest as _pytest
+
+    media = synthesize_media(spark, n=3)
+    with _pytest.raises(Exception) as exc:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "external codec" in str(exc.value)
 
 
 def test_ngram_jaccard_hot_shingle_cap(spark):
