@@ -50,15 +50,18 @@ def label_propagation(
         new = labels.join(best, labels.v == best.vv, "left").select(
             "v", F.coalesce("new_label", F.col("label")).alias("label")
         )
-        new = cut_lineage(new, tag="lpa")
+        # commit FIRST (single evaluation + write); the convergence count
+        # then diffs two parquet-backed tables instead of re-running the
+        # whole superstep plan — one pass per iteration, not two
+        committed = runner.commit(step, new, {"op": "lpa"})
         if stop_on_converge:
             changed = (
-                new.alias("n")
+                committed.alias("n")
                 .join(labels.alias("o"), "v")
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-        labels = runner.commit(step, new, {"op": "lpa"})
+        labels = committed
         if stop_on_converge and changed == 0:
             break
 
