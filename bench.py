@@ -60,7 +60,13 @@ def main() -> int:
     timed("pagerank_10it", lambda: pagerank(cs, max_iters=pr_iters).count())
 
     parts = M.build_parts_graph(spark, sf_dir)
+    # engine default (auto local union-find below the edge threshold) AND
+    # the forced distributed star path, so both plans stay measured
     timed("connected_components", lambda: connected_components(parts).count())
+    timed(
+        "cc_star_distributed",
+        lambda: connected_components(parts, local_threshold=0).count(),
+    )
     timed(
         "label_propagation_3it",
         lambda: label_propagation(parts, max_iters=3, stop_on_converge=False).count(),

@@ -59,11 +59,54 @@ def _small_star(pairs: DataFrame) -> DataFrame:
     return nbr_edges.union(self_edges).filter(F.col("u") != F.col("v")).distinct()
 
 
+def _local_union_find(pairs: DataFrame) -> DataFrame:
+    """Driver-local path for small graphs: one Arrow collect, array-based
+    union-find with path compression, labels = min id per component — the
+    same labels the star rounds converge to, without ~6 rounds of fixed
+    distributed-job overhead. Callers gate on edge-row count."""
+    import numpy as np
+    import pandas as pd
+
+    spark = pairs.sparkSession
+    pdf = pairs.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], "v long, component long")
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(ui.tolist(), vi.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller index: keeps the root the min-id member
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    return spark.createDataFrame(
+        pd.DataFrame({"v": ids, "component": ids[roots]}),
+        "v long, component long",
+    )
+
+
 def connected_components(
     g: Graph,
     method: str = "star",
     max_iters: int = 50,
     check_every: int = 1,
+    local_threshold: int = 2_000_000,
     run_dir: str | None = None,
 ) -> DataFrame:
     """Return assignments ``(v, component)``; isolated vertices get their own id.
@@ -74,6 +117,11 @@ def connected_components(
     symmetrized union feeds both the min-aggregate and the join), so
     chaining uncut rounds multiplies re-evaluation — measured slower.
     Forced to 1 when ``run_dir`` is set so every superstep commits durably.
+
+    ``local_threshold``: below that many distinct edge rows the labels come
+    from a driver-local union-find (identical min-id labels, one collect)
+    — the star supersteps on a small graph are pure fixed job overhead.
+    0 disables; ``run_dir`` (durable superstep state) forces distributed.
     """
     pairs = (
         g.edges.filter(F.col("src") != F.col("dst"))
@@ -83,6 +131,19 @@ def connected_components(
     runner = SuperstepRunner(g.edges.sparkSession, run_dir)
     if run_dir is not None:
         check_every = 1
+
+    if (
+        run_dir is None
+        and local_threshold > 0
+        and method == "star"
+        and pairs.count() <= local_threshold
+    ):
+        labels = _local_union_find(pairs)
+        all_v = g.vertex_ids()
+        out = all_v.join(labels, "v", "left").select(
+            "v", F.coalesce("component", F.col("v")).alias("component")
+        )
+        return cut_lineage(out, tag="result", keep_last=64)
 
     if method == "star":
         start, resumed = runner.resume()

@@ -17,14 +17,75 @@ from grappolo_spark.graph import Graph
 from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
 
 
+def _local_lpa(g: Graph, max_iters: int, stop_on_converge: bool) -> DataFrame:
+    """Driver-local replay of the identical iteration for small graphs:
+    same gather (sum weight per neighbor label), same (weight desc, label
+    asc) argmax, same Jacobi update and convergence stop. Exact for
+    integer-valued weights (the engine's count-weighted graphs); real
+    weights may differ in the last ulp of summed ties."""
+    import numpy as np
+    import pandas as pd
+
+    spark = g.edges.sparkSession
+    pdf = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .toPandas()
+    )
+    if not len(pdf):
+        return spark.createDataFrame([], "v long, label long")
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    w = pdf["weight"].to_numpy(dtype=np.float64)
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    nv = len(ids)
+    labels = np.arange(nv, dtype=np.int64)
+    for _ in range(max_iters):
+        key = s * nv + labels[d]
+        uk, inv = np.unique(key, return_inverse=True)
+        wsum = np.bincount(inv, weights=w)
+        gv = (uk // nv).astype(np.int64)
+        gl = (uk % nv).astype(np.int64)
+        order = np.lexsort((gl, -wsum, gv))
+        first = np.unique(gv[order], return_index=True)[1]
+        new = labels.copy()
+        new[gv[order][first]] = gl[order][first]
+        changed = bool((new != labels).any())
+        labels = new
+        if stop_on_converge and not changed:
+            break
+    return spark.createDataFrame(
+        pd.DataFrame({"v": ids, "label": ids[labels]}), "v long, label long"
+    )
+
+
 def label_propagation(
     g: Graph,
     max_iters: int = 10,
     stop_on_converge: bool = True,
+    local_threshold: int = 2_000_000,
     run_dir: str | None = None,
 ) -> DataFrame:
-    """Return ``(v, label)``; isolated vertices keep their own id."""
+    """Return ``(v, label)``; isolated vertices keep their own id.
+
+    Below ``local_threshold`` edge rows the identical iteration replays
+    driver-locally (one Arrow collect — distributed supersteps over a
+    small graph are fixed job overhead); ``run_dir`` (durable superstep
+    state for resume) forces the distributed path. 0 disables."""
     spark = g.edges.sparkSession
+    if (
+        run_dir is None
+        and local_threshold > 0
+        and g.edges.count() <= local_threshold
+    ):
+        labels = _local_lpa(g, max_iters, stop_on_converge)
+        out = g.vertex_ids().join(labels, "v", "left").select(
+            "v", F.coalesce("label", F.col("v")).alias("label")
+        )
+        return cut_lineage(out, tag="result", keep_last=64)
+
     pairs = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "weight")
     pairs = pairs.repartition("dst").persist()
 

@@ -247,3 +247,42 @@ def test_colored_louvain_multihash_bounded_palette(spark):
         g, thresh=1e-6, coloring_algo="multihash"
     )
     assert res.modularity > 0.0
+
+
+def test_cc_local_union_find_matches_star(spark):
+    from grappolo_spark.operators.components import connected_components
+
+    # multi-component graph with isolated vertex: two paths + isolated 99
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0), (11, 12, 1.0), (12, 10, 1.0)],
+        "src long, dst long, weight double",
+    )
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 12, 99]], "v long")
+    g = Graph.from_edgelist(e, vertices=verts)
+    star = {
+        r.v: r.component
+        for r in connected_components(g, local_threshold=0).collect()
+    }
+    local = {
+        r.v: r.component for r in connected_components(g).collect()
+    }
+    assert local == star
+    assert local[99] == 99 and local[3] == 1 and local[12] == 10
+
+
+def test_lpa_local_matches_distributed(spark):
+    from grappolo_spark.operators.labelprop import label_propagation
+
+    g = fixtures.karate(spark)
+    for kwargs in (
+        {"max_iters": 3, "stop_on_converge": False},
+        {"max_iters": 10, "stop_on_converge": True},
+    ):
+        dist = {
+            r.v: r.label
+            for r in label_propagation(g, local_threshold=0, **kwargs).collect()
+        }
+        loc = {
+            r.v: r.label for r in label_propagation(g, **kwargs).collect()
+        }
+        assert loc == dist
