@@ -377,6 +377,7 @@ def louvain_one_phase(
     ftr_phase: int | None = None,
     lineage_cut_every: int = 1,
     salt_threshold: int = 1_000_000,
+    smart_init: bool = False,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """Run one modularity-optimization level to its convergence threshold.
@@ -443,6 +444,33 @@ def louvain_one_phase(
     else:
         if init_assign is not None:
             assign = init_assign.select("v", "comm")
+        elif smart_init:
+            # fused initCommAssOpt: same one-pass sweep as
+            # smart_init_assignment, but reusing the vdeg/const already
+            # computed here (two fewer jobs per phase)
+            d_src = vdeg.select(F.col("v").alias("src"), F.col("deg").alias("deg_u"))
+            d_dst = vdeg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_v"))
+            cand0 = (
+                edges.filter(F.col("src") != F.col("dst"))
+                .join(d_src, "src")
+                .join(d_dst, "dst")
+                .withColumn(
+                    "gain",
+                    2.0 * F.col("weight")
+                    - 2.0 * F.col("deg_u") * F.col("deg_v") * F.lit(const),
+                )
+                .filter(F.col("gain") > 0)
+            )
+            w0 = Window.partitionBy("src").orderBy(F.desc("gain"), F.asc("dst"))
+            best0 = (
+                cand0.withColumn("rn", F.row_number().over(w0))
+                .filter(F.col("rn") == 1)
+                .filter(F.col("dst") < F.col("src"))  # all-singleton swap rule
+                .select(F.col("src").alias("v"), F.col("dst").alias("cand"))
+            )
+            assign = vdeg.join(best0, "v", "left").select(
+                "v", F.coalesce("cand", F.col("v")).cast("long").alias("comm")
+            )
         else:
             assign = vdeg.select("v", F.col("v").alias("comm"))
         assign = cut_lineage(assign, tag="louvain_assign")

@@ -150,10 +150,7 @@ def louvain(
     `runDirectedMultiPhaseBasic.cpp:52-170` driver.
     """
     from grappolo_spark.operators.coloring import louvain_one_phase_colored
-    from grappolo_spark.operators.louvain import (
-        louvain_local_tail,
-        smart_init_assignment,
-    )
+    from grappolo_spark.operators.louvain import louvain_local_tail
     from grappolo_spark.operators.vertex_following import (
         apply_vertex_following,
         vertex_following_map,
@@ -238,7 +235,7 @@ def louvain(
         else:
             res = louvain_one_phase(
                 cur_g, thresh=phase_thresh, lower=curr_mod,
-                init_assign=smart_init_assignment(cur_g) if smart_init else None,
+                smart_init=smart_init,
                 sample_fraction=sample_fraction,
                 seed=seed,
                 early_terminate=early_terminate,

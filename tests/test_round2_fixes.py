@@ -286,3 +286,16 @@ def test_lpa_local_matches_distributed(spark):
             r.v: r.label for r in label_propagation(g, **kwargs).collect()
         }
         assert loc == dist
+
+
+def test_kernel_fused_smart_init_equivalent(spark):
+    # the fused in-kernel smart_init must match the standalone
+    # smart_init_assignment warm start exactly
+    g = fixtures.karate(spark)
+    a = louvain_one_phase(g, init_assign=smart_init_assignment(g))
+    b = louvain_one_phase(g, smart_init=True)
+    assert a.modularity == b.modularity
+    assert a.iterations == b.iterations
+    assert {(r.v, r.comm) for r in a.assignment.collect()} == {
+        (r.v, r.comm) for r in b.assignment.collect()
+    }
