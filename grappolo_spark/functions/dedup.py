@@ -69,7 +69,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
 
@@ -82,8 +82,10 @@ def ngram_jaccard_pairs(
     Jaccard is then computed over the filtered shingle space (sizes and
     intersections consistently exclude dropped shingles), so the estimate
     is deterministic and oracle-replicable; the recall trade is that pairs
-    similar ONLY through ubiquitous shingles score lower. ``None`` disables
-    the cap (exact semantics, unsafe on skewed corpora).
+    similar ONLY through ubiquitous shingles score lower. The default
+    ``None`` keeps exact Jaccard semantics — callers at corpus scale must
+    OPT IN to the cap (the driver entry query passes an explicit 50), so
+    existing callers never get silently-approximate answers.
     """
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:

@@ -108,11 +108,18 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 8,
-    num_tables: int = 4,
     seed: int = 5,
+    num_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an SRP bucket in at
     least one of ``num_tables`` independent hash tables (OR-amplification).
+
+    ``num_tables`` sits AFTER ``seed`` so round-1 callers passing ``seed``
+    positionally keep their meaning (it was inserted mid-signature in round
+    2 — an API break the round-2 review flagged). The default of 4 tables
+    (vs round 1's single table) is intentional: same seed, higher recall,
+    different candidate sets — callers needing the old behavior pass
+    ``num_tables=1``.
 
     A single table's recall sags as the corpus grows (true neighbors split
     across bucket boundaries); unioning candidates over T independent

@@ -26,6 +26,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Hard ceiling on rows collected to the driver for a broadcast side.
+# 1M rows x 128 float64 dims ~= 1 GB broadcast — the upper edge of sane.
+# Above it the caller must route to the bucketed paths (lsh_cosine_topk /
+# ivf_cosine_topk), which never collect; a silent collect of the "small"
+# side is exactly the 100 TB driver-OOM the round-2 review flagged.
+MAX_COLLECT_ROWS = 1_000_000
+
+
+def _guard_collect_side(df: DataFrame, side: str, limit: int, alternatives: str) -> None:
+    """Raise before collecting an unexpectedly large broadcast side.
+
+    One count against the (usually already-pruned) side — cheap relative to
+    the matmul work that follows, and it turns a driver OOM at scale into
+    an actionable error."""
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{side} has {n} rows, above the broadcast-collect bound "
+            f"({limit}); this kernel collects the {side} to the driver. "
+            f"Use {alternatives} for sides this large, or raise "
+            f"max_collect_rows explicitly if the driver really has room."
+        )
+
 
 def cosine_topk_np(
     df: DataFrame,
@@ -33,6 +56,7 @@ def cosine_topk_np(
     vec_col: str = "embedding",
     k: int = 5,
     queries: DataFrame | None = None,
+    max_collect_rows: int = MAX_COLLECT_ROWS,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine): exact top-k, numpy-batched.
 
@@ -40,6 +64,10 @@ def cosine_topk_np(
     cosine rounded to 6dp BEFORE ranking, ties by neighbor id.
     """
     spark = df.sparkSession
+    _guard_collect_side(
+        df.select(id_col), "corpus", max_collect_rows,
+        "cosine_topk_sharded (streams the corpus)",
+    )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -83,20 +111,28 @@ def cosine_topk_sharded(
     vec_col: str = "embedding",
     k: int = 5,
     queries: DataFrame | None = None,
+    max_collect_rows: int = MAX_COLLECT_ROWS,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine): exact top-k with a distributed
     corpus scan — the scale path.
 
-    Queries are collected and broadcast (documented bound: queries must be
-    the small side); each corpus Arrow batch contributes its local top-k
-    per query, and a grouped window takes the global top-k of the union —
-    exact, because the global top-k is contained in the union of per-batch
-    top-ks. Matches ``similarity.cosine_topk`` bit-for-bit.
+    Queries are collected and broadcast — and that bound is ENFORCED: the
+    query side is counted first and a query set above ``max_collect_rows``
+    raises with a pointer to the bucketed paths (LSH / IVF) instead of
+    OOMing the driver at scale. Each corpus Arrow batch contributes its
+    local top-k per query, and a grouped window takes the global top-k of
+    the union — exact, because the global top-k is contained in the union
+    of per-batch top-ks. Matches ``similarity.cosine_topk`` bit-for-bit.
     """
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
-    q_rows = (queries if queries is not None else df).select(id_col, vec_col).collect()
+    q_side = (queries if queries is not None else df).select(id_col, vec_col)
+    _guard_collect_side(
+        q_side.select(id_col), "query side", max_collect_rows,
+        "lsh_cosine_topk or ivf_cosine_topk (bucketed, no collect)",
+    )
+    q_rows = q_side.collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qnorms = np.sqrt((qmat * qmat).sum(axis=1))
@@ -149,6 +185,7 @@ def embedding_near_dup_pairs(
     num_planes: int = 10,
     num_tables: int = 4,
     seed: int = 5,
+    max_collect_rows: int = MAX_COLLECT_ROWS,
 ) -> DataFrame:
     """(id_a, id_b, cosine) with id_a < id_b and cosine >= threshold —
     the embedding-cosine near-duplicate tier of the dedup family.
@@ -203,6 +240,10 @@ def embedding_near_dup_pairs(
         )
 
     spark = df.sparkSession
+    _guard_collect_side(
+        df.select(id_col), "corpus", max_collect_rows,
+        'embedding_near_dup_pairs(method="lsh") (bucketed, no collect)',
+    )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

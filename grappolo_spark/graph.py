@@ -189,7 +189,11 @@ class Graph:
         return self.vertex_ids().count()
 
     def num_edges(self) -> int:
-        """Undirected edge count, each counted once (``defs.h:89``)."""
+        """Edge count, each counted once (``defs.h:89``): a symmetrized
+        table stores non-self edges twice, a directed one stores each arc
+        once — only the former halves."""
+        if self.directed:
+            return self.edges.count()
         both = self.edges.count()
         selfloops = self.edges.filter(F.col("src") == F.col("dst")).count()
         return (both - selfloops) // 2 + selfloops
@@ -204,7 +208,12 @@ class Graph:
         ``displayGraphCharacteristics`` stat set
         (`Utility/utilityFunctions.cpp:188-414`): degree extremes/moments,
         isolated and degree-one counts, density. Two scans (degree table +
-        edge table) cross-joined into one row; all distributed aggregates."""
+        edge table) cross-joined into one row; all distributed aggregates.
+        ``num_edges``/``density_pct`` halve the non-self row count only for
+        symmetrized (undirected) tables; a directed graph stores each arc
+        once, so its raw row count IS the arc count."""
+        # directed tables store one row per arc — no double-counted rows
+        half = F.lit(1) if self.directed else F.lit(2)
         deg_stats = self.degrees().agg(
             F.count(F.lit(1)).alias("num_vertices"),
             F.min("out_degree").cast("long").alias("min_degree"),
@@ -222,7 +231,7 @@ class Graph:
         return deg_stats.crossJoin(edge_stats).select(
             "num_vertices",
             (
-                (F.col("_rows") - F.coalesce("_selfs", F.lit(0))) / 2
+                (F.col("_rows") - F.coalesce("_selfs", F.lit(0))) / half
                 + F.coalesce("_selfs", F.lit(0))
             ).cast("long").alias("num_edges"),
             "min_degree",
@@ -239,7 +248,7 @@ class Graph:
             "degree_one",
             F.round(
                 (
-                    (F.col("_rows") - F.coalesce("_selfs", F.lit(0))) / 2
+                    (F.col("_rows") - F.coalesce("_selfs", F.lit(0))) / half
                     + F.coalesce("_selfs", F.lit(0))
                 )
                 / (F.col("num_vertices") * F.col("num_vertices"))

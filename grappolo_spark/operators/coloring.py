@@ -186,13 +186,36 @@ def color_histogram(colors: DataFrame) -> DataFrame:
     return colors.groupBy("color").agg(F.count(F.lit(1)).alias("size"))
 
 
+def select_coloring_algo(g: Graph, num_colors_cap: int = 1024) -> str:
+    """Pick the scale-safe coloring for a colored-Louvain sweep.
+
+    A greedy distance-one coloring uses at most ``max_degree + 1`` colors,
+    and each color is a sequential driver-coordinated sub-sweep — on a hub
+    graph (max degree in the thousands/millions) the exact chromatic sweep
+    degenerates into thousands of sequential jobs per iteration. When the
+    degree bound says the palette could exceed ``num_colors_cap``, switch
+    to the multihash (Jones-Plassmann) coloring whose palette is fixed at
+    ``2*nhash*nrounds + 1`` regardless of degree. One cheap max-degree
+    aggregate decides — BEFORE paying for a full distance-one coloring.
+    """
+    maxdeg = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+        or 0
+    )
+    return "multihash" if maxdeg + 1 > num_colors_cap else "distance_one"
+
+
 def louvain_one_phase_colored(
     g: Graph,
     thresh: float = 0.01,
     lower: float = -1.0,
     max_iters: int = 100,
     num_colors_cap: int = 1024,
-    coloring_algo: str = "distance_one",
+    coloring_algo: str = "auto",
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """One Louvain level, sweeping color classes sequentially.
@@ -209,9 +232,15 @@ def louvain_one_phase_colored(
     thousands of sequential classes. Its shared overflow color may contain
     adjacent vertices; that class's sub-sweep is then Jacobi (simultaneous
     moves against current state — the plain kernel's semantics), exactly
-    like the ``num_colors_cap`` overflow merge below.
+    like the ``num_colors_cap`` overflow merge below. The default
+    ``"auto"`` makes that choice from the max degree
+    (:func:`select_coloring_algo`) so hub graphs get the bounded palette
+    WITHOUT the caller having to know — the cap stops being merely a
+    post-hoc merge and becomes the plan choice.
     """
     spark = g.edges.sparkSession
+    if coloring_algo == "auto":
+        coloring_algo = select_coloring_algo(g, num_colors_cap)
     if coloring_algo == "multihash":
         colors = multihash_coloring(g)
     else:
@@ -328,19 +357,27 @@ def louvain_one_phase_colored(
                 )
                 .filter(F.col("gain") > 0)
             )
-            w = Window.partitionBy("v").orderBy(F.desc("gain"), F.asc("cand"))
+            # argmax as a hash aggregation (min_by over (−gain, cand)) —
+            # map-side partial agg instead of a window sort; swap
+            # protection vs the CURRENT COMMUNITY id (maxIndex > sc,
+            # `utilityClusteringFunctions.cpp:254-256`)
             best = (
-                cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .withColumn(
-                    # swap protection vs the CURRENT COMMUNITY id (maxIndex
-                    # > sc, `utilityClusteringFunctions.cpp:254-256`)
-                    "blocked",
-                    (F.col("csize_cand") == 1)
-                    & (F.col("csize_cur") == 1)
-                    & (F.col("cand") > F.col("comm")),
+                cand.groupBy("v")
+                .agg(
+                    F.min_by(
+                        F.struct("comm", "cand", "csize_cand", "csize_cur"),
+                        F.struct((-F.col("gain")).alias("ng"), F.col("cand")),
+                    ).alias("b")
                 )
-                .select("v", "cand", "blocked")
+                .select(
+                    "v",
+                    F.col("b.cand").alias("cand"),
+                    (
+                        (F.col("b.csize_cand") == 1)
+                        & (F.col("b.csize_cur") == 1)
+                        & (F.col("b.cand") > F.col("b.comm"))
+                    ).alias("blocked"),
+                )
             )
             state = (
                 state.join(best, "v", "left")

@@ -13,25 +13,32 @@ match against any oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from grappolo_spark.graph import Graph
 from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
 
-
-def _checksum(pairs: DataFrame) -> tuple[int, int]:
-    row = pairs.agg(
+def _checksum_aggs():
+    # built lazily — Column construction needs an active SparkContext
+    return (
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-    ).collect()[0]
+    )
+
+
+def _checksum(pairs: DataFrame) -> tuple[int, int]:
+    row = pairs.agg(*_checksum_aggs()).collect()[0]
     return row["n"], row["h"]
 
 
-def _large_star(pairs: DataFrame) -> DataFrame:
+def _large_star(pairs: DataFrame, dedup: bool = True) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
 
     Operates on the full undirected neighborhood, so symmetrize first.
+    ``dedup=False`` skips the trailing distinct — correct whenever the
+    consumer dedups anyway (``_small_star`` canonicalizes+distincts its
+    input first), saving one full-width shuffle per star round.
     """
     sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -39,8 +46,8 @@ def _large_star(pairs: DataFrame) -> DataFrame:
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-    )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    ).filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def _small_star(pairs: DataFrame) -> DataFrame:
@@ -150,13 +157,25 @@ def connected_components(
         if resumed is not None:
             pairs = resumed
         pairs = cut_lineage(pairs, tag="cc_pairs")
-        prev = _checksum(pairs)
+        prev = _checksum(pairs)  # once, against the cut parquet — cheap
         for step in range(start, max_iters):
-            pairs = _small_star(_large_star(pairs))
+            pairs = _small_star(_large_star(pairs, dedup=False))
             if (step + 1) % max(1, check_every) != 0:
                 continue
-            pairs = runner.commit(step, pairs, {"op": "cc_star"})
-            cur = _checksum(pairs)
+            # convergence checksum rides the commit write as observed
+            # metrics (CollectMetrics on the state plan): ONE action per
+            # round instead of commit + a separate count/bit_xor job
+            obs = Observation()
+            pairs = runner.commit(
+                step, pairs.observe(obs, *_checksum_aggs()), {"op": "cc_star"}
+            )
+            try:
+                cur = (obs.get["n"], obs.get["h"])
+            except Exception:
+                # AQE empty-relation propagation can prune CollectMetrics
+                # when the plan goes runtime-empty; re-derive from the
+                # committed parquet (one cheap scan)
+                cur = _checksum(pairs)
             if cur == prev:
                 break
             prev = cur

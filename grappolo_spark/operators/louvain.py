@@ -36,7 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql import Observation
 
 from grappolo_spark.graph import Graph
 from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
@@ -90,27 +90,24 @@ class LouvainPhaseResult:
     iterations: int
 
 
-def smart_init_assignment(g: Graph) -> DataFrame:
-    """One-pass warm start — reference ``initCommAssOpt``
-    (`Utility/utilityClusteringFunctions.cpp:108-169`).
+def _singleton_sweep_best(edges: DataFrame, vdeg: DataFrame, const: float) -> DataFrame:
+    """(v, cand): each vertex's best move under the all-singleton
+    assumption — the ONE implementation of the ``initCommAssOpt`` gain
+    (`Utility/utilityClusteringFunctions.cpp:108-169`), shared by
+    :func:`smart_init_assignment` and the kernel's fused warm start so the
+    gain formula exists exactly once.
 
-    Each vertex evaluates its neighbors assuming the all-singleton
-    assignment: eix = 0, ax = 0, ay = deg(neighbor), so the gain collapses
-    to ``2*w_uv − 2*deg_u*deg_v*const`` — one edge-table pass with a
-    per-vertex argmax, no community-info join and no modularity action.
-    Strictly-positive gain required; ties break to the smaller neighbor id;
-    swap protection (all sizes 1) blocks moves to a larger id. Equivalent
-    to the kernel's first Jacobi iteration, at a fraction of its cost.
+    eix = 0, ax = 0, ay = deg(neighbor), so the gain collapses to
+    ``2*w_uv − 2*deg_u*deg_v*const``. Strictly-positive gain required;
+    ties break to the smaller neighbor id (min_by over (−gain, dst));
+    swap protection (all sizes 1) blocks moves to a larger id, which with
+    singleton community ids == vertex ids reduces to ``cand < v``.
+    The argmax is a hash aggregation (map-side partial), not a window sort.
     """
-    vdeg = g.degrees().select("v", "deg")
-    two_m = g.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
-    if two_m == 0.0:
-        return g.vertex_ids().select("v", F.col("v").alias("comm"))
-    const = (2.0 if g.directed else 1.0) / two_m
     d_src = vdeg.select(F.col("v").alias("src"), F.col("deg").alias("deg_u"))
     d_dst = vdeg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_v"))
     cand = (
-        g.edges.filter(F.col("src") != F.col("dst"))
+        edges.filter(F.col("src") != F.col("dst"))
         .join(d_src, "src")
         .join(d_dst, "dst")
         .withColumn(
@@ -120,15 +117,34 @@ def smart_init_assignment(g: Graph) -> DataFrame:
         )
         .filter(F.col("gain") > 0)
     )
-    w = Window.partitionBy("src").orderBy(F.desc("gain"), F.asc("dst"))
-    best = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        # swap protection: every community is a singleton whose id is its
-        # own vertex id, so maxIndex > sc reduces to cand > v
-        .filter(F.col("dst") < F.col("src"))
-        .select(F.col("src").alias("v"), F.col("dst").alias("cand"))
+    return (
+        cand.groupBy("src")
+        .agg(
+            F.min_by(
+                "dst", F.struct((-F.col("gain")).alias("ng"), F.col("dst"))
+            ).alias("cand")
+        )
+        .filter(F.col("cand") < F.col("src"))
+        .select(F.col("src").alias("v"), "cand")
     )
+
+
+def smart_init_assignment(g: Graph) -> DataFrame:
+    """One-pass warm start — reference ``initCommAssOpt``
+    (`Utility/utilityClusteringFunctions.cpp:108-169`).
+
+    Each vertex evaluates its neighbors assuming the all-singleton
+    assignment (see :func:`_singleton_sweep_best` for the gain/tie-break) —
+    one edge-table pass with a per-vertex argmax, no community-info join
+    and no modularity action. Equivalent to the kernel's first Jacobi
+    iteration, at a fraction of its cost.
+    """
+    vdeg = g.degrees().select("v", "deg")
+    two_m = g.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    if two_m == 0.0:
+        return g.vertex_ids().select("v", F.col("v").alias("comm"))
+    const = (2.0 if g.directed else 1.0) / two_m
+    best = _singleton_sweep_best(g.edges, vdeg, const)
     return (
         g.vertex_ids()
         .join(best, "v", "left")
@@ -141,6 +157,7 @@ def louvain_one_phase_local(
     thresh: float = 1e-6,
     lower: float = -1.0,
     max_iters: int = 1000,
+    smart_init: bool = False,
 ) -> LouvainPhaseResult:
     """The SAME Jacobi kernel, executed driver-locally in numpy.
 
@@ -171,7 +188,8 @@ def louvain_one_phase_local(
     s = np.searchsorted(ids, src)
     d = np.searchsorted(ids, dst)
     prev_comm, prev_mod, num_itrs = _local_kernel(
-        s, d, w, len(ids), g.directed, thresh, lower, max_iters
+        s, d, w, len(ids), g.directed, thresh, lower, max_iters,
+        smart_init=smart_init,
     )
     if prev_comm is None:
         return LouvainPhaseResult(
@@ -198,9 +216,36 @@ def _collect_edges_np(g: Graph):
     )
 
 
-def _local_kernel(s, d, w, nv, directed, thresh, lower, max_iters):
+def _smart_init_np(s, d, w, vdeg, const, nv):
+    """Numpy mirror of :func:`_singleton_sweep_best` — the initCommAssOpt
+    one-pass warm start in index space: gain ``2*w − 2*deg_u*deg_v*const``
+    over non-self edges, strictly positive, argmax per vertex with
+    (gain desc, neighbor asc) tie-break, then the all-singleton swap rule
+    (keep only moves to a smaller id). Exact for integer-valued weights."""
+    import numpy as np
+
+    m = s != d
+    ss, dd, ww = s[m], d[m], w[m]
+    gain = 2.0 * ww - 2.0 * vdeg[ss] * vdeg[dd] * const
+    pos = gain > 0
+    ss, dd, gain = ss[pos], dd[pos], gain[pos]
+    comm = np.arange(nv, dtype=np.int64)
+    if len(ss):
+        order = np.lexsort((dd, -gain, ss))
+        first = np.unique(ss[order], return_index=True)[1]
+        pick_v, pick_c = ss[order][first], dd[order][first]
+        keep = pick_c < pick_v
+        comm[pick_v[keep]] = pick_c[keep]
+    return comm
+
+
+def _local_kernel(s, d, w, nv, directed, thresh, lower, max_iters,
+                  smart_init=False):
     """Index-space core of the local kernel (ids must be 0..nv-1).
-    Returns (prev_comm array | None when 2m==0, prev_mod, iterations)."""
+    Returns (prev_comm array | None when 2m==0, prev_mod, iterations).
+    ``smart_init`` seeds from the initCommAssOpt warm start instead of the
+    all-singleton assignment — the same flag the distributed kernel honors,
+    so the local fast path no longer silently ignores it."""
     import numpy as np
 
     vdeg = np.bincount(s, weights=w, minlength=nv)
@@ -210,7 +255,10 @@ def _local_kernel(s, d, w, nv, directed, thresh, lower, max_iters):
         return None, 0.0, 0
     const = (2.0 if directed else 1.0) / two_m
 
-    comm = np.arange(nv, dtype=np.int64)
+    if smart_init:
+        comm = _smart_init_np(s, d, w, vdeg, const, nv)
+    else:
+        comm = np.arange(nv, dtype=np.int64)
     prev_comm = comm
     prev_mod = -1.0
     num_itrs = 0
@@ -269,6 +317,7 @@ def louvain_local_tail(
     tot_itr_start: int = 0,
     max_phases: int = 200,
     max_total_iters: int = 100_000,
+    smart_init: bool = False,
 ):
     """Run ALL remaining multiphase phases driver-locally: one collect, one
     createDataFrame, zero intermediate Spark jobs.
@@ -302,8 +351,11 @@ def louvain_local_tail(
 
     while True:
         prev_mod = curr_mod
+        # smart_init applies per phase, mirroring the distributed driver
+        # passing the flag into every plain phase's kernel
         comm, q, iters = _local_kernel(
-            cur_s, cur_d, cur_w, cur_n, g.directed, threshold, curr_mod, 1000
+            cur_s, cur_d, cur_w, cur_n, g.directed, threshold, curr_mod, 1000,
+            smart_init=smart_init,
         )
         if comm is None:
             break
@@ -378,9 +430,21 @@ def louvain_one_phase(
     lineage_cut_every: int = 1,
     salt_threshold: int = 1_000_000,
     smart_init: bool = False,
+    broadcast_assign: bool | None = None,
+    broadcast_max_vertices: int = 5_000_000,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """Run one modularity-optimization level to its convergence threshold.
+
+    ``broadcast_assign`` picks the physical gather strategy, mirroring
+    :func:`grappolo_spark.operators.pagerank.pagerank`: when the assignment
+    table is small (auto below ``broadcast_max_vertices``) it broadcasts
+    into the ``edges JOIN assign(dst)`` gather, so the persisted edge table
+    is only SCANNED per superstep — no exchange and, crucially, no
+    per-superstep sort-merge sort of the O(E) side; the single per-
+    iteration edge-width shuffle left is the gather's own partial-
+    aggregated groupBy. Beyond the threshold (a billion-vertex assignment
+    must not broadcast) the shuffle plan co-partitioned on ``dst`` is kept.
 
     ``init_assign`` gives warm starts (reference
     `parallelLouvainMethodInitialized.cpp:106-112`). ``sample_fraction``
@@ -408,12 +472,17 @@ def louvain_one_phase(
     edges = g.edges.repartition("dst").persist()
     vdeg_full = g.degrees().persist()
     vdeg = vdeg_full.select("v", "deg")
-    # one action yields 2m AND the max degree (hub detection for salting):
-    # sum of per-vertex degrees == total edge-row weight
+    # one action yields 2m AND the max degree (hub detection for salting)
+    # AND |V| (broadcast-plan selection): sum of per-vertex degrees ==
+    # total edge-row weight
     stats0 = vdeg_full.agg(
-        F.sum("deg").alias("tw"), F.max("out_degree").alias("maxdeg")
+        F.sum("deg").alias("tw"),
+        F.max("out_degree").alias("maxdeg"),
+        F.count(F.lit(1)).alias("nv"),
     ).collect()[0]
     two_m = stats0["tw"] or 0.0
+    if broadcast_assign is None:
+        broadcast_assign = (stats0["nv"] or 0) <= broadcast_max_vertices
     # hub skew: route the gather through a two-stage salted aggregation
     # when any vertex's neighbor list exceeds the threshold (the DataFrame
     # analogue of the reference's per-thread partial maps,
@@ -445,29 +514,10 @@ def louvain_one_phase(
         if init_assign is not None:
             assign = init_assign.select("v", "comm")
         elif smart_init:
-            # fused initCommAssOpt: same one-pass sweep as
-            # smart_init_assignment, but reusing the vdeg/const already
-            # computed here (two fewer jobs per phase)
-            d_src = vdeg.select(F.col("v").alias("src"), F.col("deg").alias("deg_u"))
-            d_dst = vdeg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_v"))
-            cand0 = (
-                edges.filter(F.col("src") != F.col("dst"))
-                .join(d_src, "src")
-                .join(d_dst, "dst")
-                .withColumn(
-                    "gain",
-                    2.0 * F.col("weight")
-                    - 2.0 * F.col("deg_u") * F.col("deg_v") * F.lit(const),
-                )
-                .filter(F.col("gain") > 0)
-            )
-            w0 = Window.partitionBy("src").orderBy(F.desc("gain"), F.asc("dst"))
-            best0 = (
-                cand0.withColumn("rn", F.row_number().over(w0))
-                .filter(F.col("rn") == 1)
-                .filter(F.col("dst") < F.col("src"))  # all-singleton swap rule
-                .select(F.col("src").alias("v"), F.col("dst").alias("cand"))
-            )
+            # fused initCommAssOpt: the SHARED one-pass sweep builder, fed
+            # the partitioned edges and the vdeg/const already computed
+            # here (two fewer jobs per phase than smart_init_assignment)
+            best0 = _singleton_sweep_best(edges, vdeg, const)
             assign = vdeg.join(best0, "v", "left").select(
                 "v", F.coalesce("cand", F.col("v")).cast("long").alias("comm")
             )
@@ -483,6 +533,24 @@ def louvain_one_phase(
     # plan references them (one-commit lag)
     pending: list = []
     retired: list = []
+    # Fused-action mode (the default path): the modularity stats ride the
+    # commit job as observed metrics (CollectMetrics nodes on cinfo/cur),
+    # so each iteration runs ONE Spark action — the state write — instead
+    # of a stats-collect plus a commit-write. The stop decision then lands
+    # one commit late: the final (discarded) move is committed to scratch,
+    # which is harmless because the kernel returns the PREVIOUS iteration's
+    # assignment anyway (`parallelLouvainMethod.cpp:266-268,302-307`).
+    # Variants whose stop inputs live outside cinfo/cur (early-terminate's
+    # edge-scan e_xx, FTR's Q_AFG exit), durable runs (run_dir: the
+    # _METRICS.json sidecar must hold final numbers at write time) and
+    # chained-cut runs (no action per iteration to fire the metrics) keep
+    # the two-action flow.
+    fuse_stats = (
+        run_dir is None
+        and not early_terminate
+        and ftr_phase is None
+        and lineage_cut_every <= 1
+    )
     for step in range(start, max_iters):
         num_itrs = step + 1
         # --- active set (early termination) --------------------------------
@@ -502,7 +570,17 @@ def louvain_one_phase(
             assign.join(vdeg, "v")
             .groupBy("comm")
             .agg(F.sum("deg").alias("cdeg"), F.count(F.lit(1)).alias("csize"))
-        ).persist()
+        )
+        obs_cinfo = obs_cur = None
+        if fuse_stats:
+            obs_cinfo = Observation()
+            cinfo = cinfo.observe(
+                obs_cinfo,
+                F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x"),
+                F.sum(F.col("csize") * F.col("csize")).alias("n_c2"),
+                F.sum("csize").alias("nv"),
+            )
+        cinfo = cinfo.persist()
 
         # --- gather: weight from each vertex to each neighbor community ---
         a_dst = assign.select(
@@ -513,7 +591,10 @@ def louvain_one_phase(
             if active_src is not None
             else edges
         )
-        gathered = gather_edges.join(a_dst, "dst").select(
+        # broadcast the O(V) assignment below the vertex threshold: the
+        # persisted O(E) side is scanned in place — no exchange, no sort
+        a_dst_side = F.broadcast(a_dst) if broadcast_assign else a_dst
+        gathered = gather_edges.join(a_dst_side, "dst").select(
             F.col("src").alias("v"), F.col("comm_dst").alias("cand"), "weight"
         )
         if use_salting:
@@ -552,61 +633,66 @@ def louvain_one_phase(
                 F.col("csize_cur"),
                 F.coalesce("wsum", F.lit(0.0)).alias("w_own"),
             )
-        ).persist()
-
-        # --- modularity of the pre-move assignment (one combined action) ---
-        if active_src is not None:
-            a_src_m = assign.select(
-                F.col("v").alias("src"), F.col("comm").alias("comm_src")
-            )
-            exx_df = (
-                edges.join(a_src_m, "src")
-                .join(a_dst, "dst")
-                .filter(F.col("comm_src") == F.col("comm_dst"))
-                .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
-            )
-        else:
-            exx_df = cur.agg(F.sum("w_own").alias("e_xx"))
-        stats = (
-            exx_df
-            .crossJoin(
-                cinfo.agg(
-                    F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x"),
-                    F.sum(F.col("csize") * F.col("csize")).alias("n_c2"),
-                    F.sum("csize").alias("nv"),
-                )
-            )
-            .collect()[0]
         )
-        e_xx = stats["e_xx"] or 0.0
-        a2_x = stats["a2_x"] or 0.0
-        curr_mod = e_xx * const - a2_x * const * const
+        if fuse_stats:
+            obs_cur = Observation()
+            cur = cur.observe(obs_cur, F.sum("w_own").alias("e_xx"))
+        cur = cur.persist()
 
-        if ftr_phase is not None and ftr_phase > 1:
-            # Fast-Track-Resistance exit (phase > 1): optimal when Q_AFG == 0
-            nv = float(stats["nv"])
-            w_2 = 1.0 / const
-            nd = nv - (stats["n_c2"] or 0.0) / nv
-            r_min = (-w_2 / nd) * curr_mod if nd else 0.0
-            q_afg = (
-                (w_2 * curr_mod + r_min * nd) / (w_2 - nv * r_min)
-                if (w_2 - nv * r_min)
-                else 0.0
+        if not fuse_stats:
+            # --- modularity of the pre-move assignment (combined action) ---
+            if active_src is not None:
+                a_src_m = assign.select(
+                    F.col("v").alias("src"), F.col("comm").alias("comm_src")
+                )
+                exx_df = (
+                    edges.join(a_src_m, "src")
+                    .join(a_dst, "dst")
+                    .filter(F.col("comm_src") == F.col("comm_dst"))
+                    .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
+                )
+            else:
+                exx_df = cur.agg(F.sum("w_own").alias("e_xx"))
+            stats = (
+                exx_df
+                .crossJoin(
+                    cinfo.agg(
+                        F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x"),
+                        F.sum(F.col("csize") * F.col("csize")).alias("n_c2"),
+                        F.sum("csize").alias("nv"),
+                    )
+                )
+                .collect()[0]
             )
-            stop = (q_afg == 0) or (step + 1 > 200)
-        else:
-            stop = (curr_mod - prev_mod) < thresh
-        metrics = {
-            "op": "louvain",
-            "e_xx": e_xx,
-            "a2_x": a2_x,
-            "curr_mod": curr_mod,
-            "prev_mod": prev_mod,
-            "gain": curr_mod - prev_mod,
-        }
-        if stop:
-            pending.extend([cinfo, counter, cur])
-            break
+            e_xx = stats["e_xx"] or 0.0
+            a2_x = stats["a2_x"] or 0.0
+            curr_mod = e_xx * const - a2_x * const * const
+
+            if ftr_phase is not None and ftr_phase > 1:
+                # Fast-Track-Resistance exit (phase > 1): optimal when Q_AFG == 0
+                nv = float(stats["nv"])
+                w_2 = 1.0 / const
+                nd = nv - (stats["n_c2"] or 0.0) / nv
+                r_min = (-w_2 / nd) * curr_mod if nd else 0.0
+                q_afg = (
+                    (w_2 * curr_mod + r_min * nd) / (w_2 - nv * r_min)
+                    if (w_2 - nv * r_min)
+                    else 0.0
+                )
+                stop = (q_afg == 0) or (step + 1 > 200)
+            else:
+                stop = (curr_mod - prev_mod) < thresh
+            metrics = {
+                "op": "louvain",
+                "e_xx": e_xx,
+                "a2_x": a2_x,
+                "curr_mod": curr_mod,
+                "prev_mod": prev_mod,
+                "gain": curr_mod - prev_mod,
+            }
+            if stop:
+                pending.extend([cinfo, counter, cur])
+                break
 
         # --- candidate gains + argmax --------------------------------------
         cand = (
@@ -626,14 +712,22 @@ def louvain_one_phase(
             )
             .filter(F.col("gain") > 0)
         )
-        w = Window.partitionBy("v").orderBy(F.desc("gain"), F.asc("cand"))
+        # argmax with (gain desc, cand asc) tie-break (`:245-248`) as a
+        # HASH AGGREGATION — min_by over (−gain, cand) — not a window sort:
+        # partial aggregation runs map-side, so the shuffle carries one row
+        # per (vertex, partial winner) instead of every candidate row
         best = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "v", "comm", "cand", "csize_cand",
-                F.col("csize_cur").alias("csize_me"),
+            cand.groupBy("v")
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("comm"), F.col("cand"), F.col("csize_cand"),
+                        F.col("csize_cur").alias("csize_me"),
+                    ),
+                    F.struct((-F.col("gain")).alias("ng"), F.col("cand")),
+                ).alias("b")
             )
+            .select("v", "b.comm", "b.cand", "b.csize_cand", "b.csize_me")
         )
         # singleton-swap protection (`utilityClusteringFunctions.cpp:254-256`):
         # the reference compares the target to the CURRENT COMMUNITY id
@@ -664,6 +758,53 @@ def louvain_one_phase(
                 .alias("comm"),
             )
         )
+
+        if fuse_stats:
+            # commit FIRST — the single action of the iteration; it fires
+            # the observed metrics — then read them and decide the stop
+            committed = runner.commit(step, new_assign, {"op": "louvain"})
+            for df_ in retired:
+                df_.unpersist()
+            retired = pending + [cinfo, counter, cur]
+            pending = []
+            try:
+                e_xx = obs_cur.get["e_xx"] or 0.0
+                a2_x = obs_cinfo.get["a2_x"] or 0.0
+            except Exception:
+                # AQE's empty-relation propagation prunes the
+                # CollectMetrics nodes when the move set goes runtime-
+                # empty (exactly the convergence iteration: a left join
+                # whose build side turned out empty is rewritten away,
+                # and the observation row comes back schemaless).
+                # Recompute directly — cur/cinfo are persisted, so this
+                # is one cheap agg, paid once per phase at most.
+                row = (
+                    cur.agg(F.sum("w_own").alias("e_xx"))
+                    .crossJoin(
+                        cinfo.agg(
+                            F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x")
+                        )
+                    )
+                    .collect()[0]
+                )
+                e_xx = row["e_xx"] or 0.0
+                a2_x = row["a2_x"] or 0.0
+            curr_mod = e_xx * const - a2_x * const * const
+            runner.history[-1].update(
+                e_xx=e_xx, a2_x=a2_x, curr_mod=curr_mod, prev_mod=prev_mod,
+                gain=curr_mod - prev_mod,
+            )
+            if (curr_mod - prev_mod) < thresh:
+                # stats are of the PRE-move assignment: return prev_assign
+                # (the previous iteration's result), exactly as the
+                # two-action flow would have before making this move
+                break
+            prev_mod = curr_mod if curr_mod > lower else lower
+            prev_assign = assign
+            hist2 = hist1
+            hist1 = assign
+            assign = committed
+            continue
 
         prev_mod = curr_mod if curr_mod > lower else lower
         prev_assign = assign

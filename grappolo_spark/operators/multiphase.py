@@ -114,7 +114,7 @@ def louvain(
     max_total_iters: int = 100_000,
     coloring: bool = False,
     num_colors_cap: int = 1024,
-    coloring_algo: str = "distance_one",
+    coloring_algo: str = "auto",
     local_threshold: int = 2_000_000,
     vertex_following: bool = False,
     sample_fraction: float | None = None,
@@ -144,7 +144,8 @@ def louvain(
     small coarse graph are pure fixed job overhead, the Spark analogue of
     the reference keeping later phases in cache. 0 disables. Variant flags
     (sampling / early-terminate / FTR / coloring / run_dir resumability)
-    always take the distributed path.
+    always take the distributed path; ``smart_init`` is honored on BOTH
+    paths (the local kernel replays the same warm start in numpy).
     Directed graphs (``Graph(directed=True)``) run the directed kernel
     (constant 2/m) and coarsen without symmetrizing — the
     `runDirectedMultiPhaseBasic.cpp:52-170` driver.
@@ -214,6 +215,7 @@ def louvain(
                 tot_itr_start=tot_itr,
                 max_phases=max_phases,
                 max_total_iters=max_total_iters,
+                smart_init=smart_init,
             )
             history.extend(tail_hist)
             phase_maps.append(

@@ -64,7 +64,12 @@ def sessionize(
         else:
             rows = pd.concat(list(pdfs))
             rows = rows.sort_values("ts")
-            ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> us
+            # normalize to ns resolution first: pandas 2.x may hand Arrow
+            # timestamps through at us resolution, and a bare
+            # astype('int64') would then be off by 1000x in the gap math
+            ts_us = (
+                rows["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).tolist()  # ns -> us
             vals = rows["value"].tolist()
             cur = list(state.get) if state.exists else None
             for t, v in zip(ts_us, vals):
