@@ -224,6 +224,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cc(spark, sf):
         return connected_components(build_parts_graph(spark, sf))
 
+    def q_cc_distributed(spark, sf):
+        # local_threshold=0 FORCES the star supersteps (the 100 TB plan):
+        # the driver oracle then value-checks the distributed kernel, not
+        # the small-graph union-find shortcut
+        return connected_components(build_parts_graph(spark, sf), local_threshold=0)
+
     def q_pagerank(spark, sf):
         g = build_cs_graph(spark, sf)
         pr = pagerank(g, alpha=0.85, max_iters=10)
@@ -232,6 +238,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lpa(spark, sf):
         g = build_parts_graph(spark, sf)
         return label_propagation(g, max_iters=3, stop_on_converge=False)
+
+    def q_lpa_distributed(spark, sf):
+        # forced distributed superstep path (local_threshold=0), same
+        # unrolled-SQL oracle as label_propagation
+        g = build_parts_graph(spark, sf)
+        return label_propagation(
+            g, max_iters=3, stop_on_converge=False, local_threshold=0
+        )
 
     def q_tri_total(spark, sf):
         return triangle_count(build_parts_graph(spark, sf))
@@ -380,6 +394,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = build_cs_graph(spark, sf)
         return louvain(g, max_phases=3).assignment
 
+    def q_louvain_distributed(spark, sf):  # rows-only (iterative, non-SQL)
+        # forces the DISTRIBUTED multiphase loop (gather/argmax supersteps,
+        # coarsen, renumber) end-to-end — the driver-local numpy tail never
+        # fires, so the scale path itself is what the driver smoke-checks
+        g = build_cs_graph(spark, sf)
+        return louvain(g, max_phases=3, local_threshold=0).assignment
+
+    def q_coloring_valid(spark, sf):
+        # validity oracle (`coloringDistanceOne.cpp:206-226` self-check):
+        # the set of monochromatic edges of a distance-1 coloring must be
+        # EMPTY — SQL-expressible as the empty relation, so the driver
+        # value-checks the invariant itself
+        from grappolo_spark.operators.coloring import distance_one_coloring
+
+        g = build_parts_graph(spark, sf)
+        colors = distance_one_coloring(g)
+        c_src = colors.select(F.col("v").alias("src"), F.col("color").alias("c1"))
+        c_dst = colors.select(F.col("v").alias("dst"), F.col("color").alias("c2"))
+        return (
+            g.edges.filter(F.col("src") != F.col("dst"))
+            .join(c_src, "src")
+            .join(c_dst, "dst")
+            .filter(F.col("c1") == F.col("c2"))
+            .select("src", "dst")
+        )
+
+    def q_equitable_valid(spark, sf):
+        # after equitable rebalancing toward 16 classes (`-n` default,
+        # `equitableColoringDistanceOne.cpp:90-253`) the coloring must STAY
+        # proper — same empty-monochromatic-edge-set oracle
+        from grappolo_spark.operators.coloring import (
+            distance_one_coloring,
+            equitable_rebalance,
+        )
+
+        g = build_parts_graph(spark, sf)
+        colors = equitable_rebalance(g, distance_one_coloring(g), num_colors=16)
+        c_src = colors.select(F.col("v").alias("src"), F.col("color").alias("c1"))
+        c_dst = colors.select(F.col("v").alias("dst"), F.col("color").alias("c2"))
+        return (
+            g.edges.filter(F.col("src") != F.col("dst"))
+            .join(c_src, "src")
+            .join(c_dst, "dst")
+            .filter(F.col("c1") == F.col("c2"))
+            .select("src", "dst")
+        )
+
+    def q_coloring_histogram(spark, sf):  # rows-only (xxhash64 tie-break)
+        from grappolo_spark.operators.coloring import (
+            color_histogram,
+            distance_one_coloring,
+        )
+
+        g = build_parts_graph(spark, sf)
+        return color_histogram(distance_one_coloring(g)).orderBy("color")
+
     def q_dedup_exact(spark, sf):
         return D.exact_dedup(_read(spark, sf, "documents"))
 
@@ -454,8 +524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_edges": q_cs_edges,
         "degree_stats": q_degree_stats,
         "connected_components": q_cc,
+        "cc_star_distributed": q_cc_distributed,
         "pagerank": q_pagerank,
         "label_propagation": q_lpa,
+        "lpa_distributed": q_lpa_distributed,
         "triangle_total": q_tri_total,
         "triangles_per_vertex": q_tri_vertex,
         "edge_jaccard": q_jaccard,
@@ -470,6 +542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_compare": q_compare,
         "gini_nation": q_gini,
         "louvain_communities": q_louvain,
+        "louvain_distributed": q_louvain_distributed,
+        "coloring_valid": q_coloring_valid,
+        "equitable_valid": q_equitable_valid,
+        "coloring_histogram": q_coloring_histogram,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash,
@@ -535,8 +611,23 @@ reach(v, r) AS (
 SELECT v, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY v
 """
 
+    # the forced-distributed variants compute the same values as the engine
+    # defaults — one oracle text each, so the driver value-checks the
+    # star supersteps / LPA supersteps themselves
+    sql["cc_star_distributed"] = sql["connected_components"]
+
     sql["pagerank"] = _pagerank_sql(10, 0.85)
     sql["label_propagation"] = _lpa_sql(3)
+    sql["lpa_distributed"] = _lpa_sql(3)
+
+    # validity oracles: a proper (distance-1) coloring has NO monochromatic
+    # edge, before and after equitable rebalancing — the oracle is the
+    # empty relation with the matching schema
+    _EMPTY_EDGES = (
+        "SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst WHERE 1 = 0"
+    )
+    sql["coloring_valid"] = _EMPTY_EDGES
+    sql["equitable_valid"] = _EMPTY_EDGES
 
     sql["triangle_total"] = f"""
 WITH {PARTS_EDGES_CTE.strip()},

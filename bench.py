@@ -2,7 +2,16 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <dir>, "edges_per_sec_superstep": N}
+   "queries": {name: sec, ...}, "runs": {name: [sec, ...]},
+   "sf": <dir>, "edges_per_sec_superstep": N}
+
+Each headline query runs best-of-N (default N=2, $SPARK_GRAFT_BENCH_REPEATS)
+and reports the MIN plus every raw run, so a single externally-loaded run on
+this shared box can't masquerade as a regression (the round-2 bench was one
+unguarded run and its pagerank number landed 2.7x off the recorded best).
+The two forced-distributed diagnostic lines (`cc_star_distributed`,
+`louvain_distributed`) run once — they exist to keep the 100x-scale plans
+measured, not to be the headline.
 
 The headline throughput figure is edges/sec per superstep, measured on the
 PageRank loop (fixed 10 supersteps over the symmetrized cs edge table) —
@@ -23,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     from pyspark.sql import functions as F
 
@@ -44,17 +54,35 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    def timed(name, fn, n=None):
+        n = repeats if n is None else n
+        runs, out = [], None
+        for _ in range(max(1, n)):
+            t0 = time.time()
+            out = fn()
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        all_runs[name] = runs
+        print(f"# {name}: {runs}", file=sys.stderr, flush=True)
         return out
 
-    # graph build (scan + join + groupBy + symmetrize), materialized once
-    cs = timed("graph_build", lambda: M.build_cs_graph(spark, sf_dir).partition_by_src())
-    n_edges = cs.edges.count()
+    # graph build (scan + join + groupBy + symmetrize), INCLUDING the
+    # materializing count — the round-2 bench timed only the lazy plan
+    # construction, which made the number noise-dominated
+    holder: dict = {}
+
+    def build_fn():
+        if "g" in holder:
+            holder["g"].unpersist()
+        g = M.build_cs_graph(spark, sf_dir).partition_by_src()
+        holder["n"] = g.edges.count()
+        holder["g"] = g
+        return g
+
+    cs = timed("graph_build", build_fn)
+    n_edges = holder["n"]
 
     pr_iters = 10
     timed("pagerank_10it", lambda: pagerank(cs, max_iters=pr_iters).count())
@@ -66,17 +94,28 @@ def main() -> int:
     timed(
         "cc_star_distributed",
         lambda: connected_components(parts, local_threshold=0).count(),
+        n=1,
     )
     timed(
         "label_propagation_3it",
         lambda: label_propagation(parts, max_iters=3, stop_on_converge=False).count(),
     )
     timed("triangle_count", lambda: triangle_count(parts).collect())
-    # smart_init = the reference's initCommAssOpt warm start: replaces each
-    # phase's first full iteration with a one-pass sweep, same trajectory
+    # engine default: at this sf the whole multiphase runs the driver-local
+    # numpy tail (identical kernel, equivalence-tested); smart_init is the
+    # reference's initCommAssOpt warm start, honored on BOTH paths
     timed(
         "louvain_multiphase",
         lambda: louvain(cs, max_phases=3, smart_init=True).assignment.count(),
+    )
+    # forced-distributed multiphase: the plan that runs at 100x scale
+    # (gather/argmax supersteps + coarsen + renumber), measured separately
+    timed(
+        "louvain_distributed",
+        lambda: louvain(
+            cs, max_phases=3, smart_init=True, local_threshold=0
+        ).assignment.count(),
+        n=1,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -101,6 +140,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "repeats": repeats,
                 "sf": sf_dir,
                 "edges": n_edges,
                 "edges_per_sec_superstep": eps,
