@@ -8,11 +8,15 @@ Jacobi-style (all vertices move against the *previous* iteration's
 assignment), which is exactly Spark's BSP model, so semantics line up
 without emulation.
 
-Per-iteration plan (3 shuffles: the gather groupBy, the community agg, the
-argmax window):
+Per-iteration plan (3 shuffles, all hash aggregations with map-side
+partial agg: the gather groupBy, the community agg, the argmax min_by —
+plus ONE action, the state commit, which carries the modularity stats as
+observed metrics):
 
 1. gather   : edges ⋈ assign(dst) → groupBy(src, comm_dst).sum(weight)
-              (= ``buildLocalMapCounter``, `utilityClusteringFunctions.cpp:172-194`)
+              (= ``buildLocalMapCounter``, `utilityClusteringFunctions.cpp:172-194`);
+              the assignment broadcasts below a vertex threshold so the
+              partitioned edge table is only scanned, never exchanged
 2. cinfo    : assign ⋈ degrees → groupBy(comm).agg(sum deg, count)
               (= ``cInfo`` maintenance, `parallelLouvainMethod.cpp:274-278`)
 3. gain     : for candidate y≠curr:
@@ -20,9 +24,12 @@ argmax window):
               ``eix = w(v→curr) − selfLoop``, ``ax = a_curr − deg_v``,
               ``ay = a_y``  (`utilityClusteringFunctions.cpp:226-259`)
 4. argmax   : positive gains only, ties → smaller community id
-              (`:245-248`); singleton-swap protection (`:254-256`)
+              (`:245-248`) via ``min_by`` over (−gain, cand) — a hash
+              aggregation, not a window sort; singleton-swap protection
+              (`:254-256`)
 5. modularity: ``Q = e_xx/2m − Σa_C²/(2m)²`` with e_xx measured on the
-              *pre-move* assignment (`parallelLouvainMethod.cpp:244-255`)
+              *pre-move* assignment (`parallelLouvainMethod.cpp:244-255`),
+              collected as CollectMetrics observations during the commit
 6. stop when ``currMod − prevMod < thresh``; return the assignment from the
               *previous* iteration (`:266-268, 302-307`)
 
@@ -600,16 +607,24 @@ def louvain_one_phase(
         if use_salting:
             from grappolo_spark.plans.salting import salted_sum
 
-            counter = salted_sum(
-                gathered, ["v", "cand"], "weight", out="wsum"
-            ).persist()
+            counter = salted_sum(gathered, ["v", "cand"], "weight", out="wsum")
         else:
-            counter = (
-                gathered.groupBy("v", "cand").agg(F.sum("weight").alias("wsum"))
-            ).persist()
+            counter = gathered.groupBy("v", "cand").agg(
+                F.sum("weight").alias("wsum")
+            )
 
-        # --- per-vertex current-community stats ----------------------------
-        cur = (
+        # --- single-pass best candidate + own-community weight -------------
+        # The argmax does NOT need eix/ax: they shift every candidate's gain
+        # by the same per-vertex constant, so ordering by the reduced score
+        # ``wsum − deg·a_y·const`` picks the identical winner (ties included
+        # — equal gains ⇔ equal scores). That lets ONE groupBy(v) produce
+        # both the best candidate (min_by over (−score, cand)) AND the
+        # own-community weight w_own (conditional sum) — no per-vertex
+        # ``cur`` table, no second O(E)-width join, no counter persist.
+        # The per-vertex constants (comm, deg, selfloop, cdeg_cur,
+        # csize_cur) ride along via first(): identical on every row of a
+        # group, since they come from the same O(V) state join.
+        state0 = (
             assign.join(vdeg, "v")
             .join(selfw, "v", "left")
             .join(
@@ -619,25 +634,55 @@ def louvain_one_phase(
                 ),
                 "comm",
             )
-            .join(
-                counter.filter(F.col("cand").isNotNull()).alias("c"),
-                (F.col("c.v") == assign.v) & (F.col("c.cand") == assign.comm),
-                "left",
-            )
             .select(
-                assign.v.alias("v"),
-                F.col("comm"),
-                F.col("deg"),
+                "v", "comm", "deg",
                 F.coalesce("selfloop", F.lit(0.0)).alias("selfloop"),
-                F.col("cdeg_cur"),
-                F.col("csize_cur"),
-                F.coalesce("wsum", F.lit(0.0)).alias("w_own"),
+                "cdeg_cur", "csize_cur",
             )
+        )
+        cinfo_cand = cinfo.select(
+            F.col("comm").alias("cand"), F.col("cdeg").alias("ay"),
+            F.col("csize").alias("csize_cand"),
+        )
+        # broadcast the O(V) sides of the enriched join when the
+        # assignment is small: without the hint the planner sort-merge
+        # joins — i.e. SORTS — the O(E)-width counter every iteration
+        # (measured 3.4x slower at sf0.1)
+        state0_side = F.broadcast(state0) if broadcast_assign else state0
+        cc_side = F.broadcast(cinfo_cand) if broadcast_assign else cinfo_cand
+        enriched = (
+            counter.join(state0_side, "v")
+            .join(cc_side, "cand")
+            .withColumn("is_own", F.col("cand") == F.col("comm"))
+            .withColumn(
+                "score",
+                F.col("wsum") - F.col("deg") * F.col("ay") * F.lit(const),
+            )
+        )
+        bestinfo = enriched.groupBy("v").agg(
+            F.min_by(
+                F.struct("cand", "wsum", "ay", "csize_cand"),
+                F.struct(
+                    # own-community rows are masked out of the argmax
+                    F.when(F.col("is_own"), F.lit(float("inf")))
+                    .otherwise(-F.col("score"))
+                    .alias("ns"),
+                    F.col("cand"),
+                ),
+            ).alias("b"),
+            F.sum(
+                F.when(F.col("is_own"), F.col("wsum")).otherwise(F.lit(0.0))
+            ).alias("w_own"),
+            F.first("comm").alias("comm"),
+            F.first("deg").alias("deg"),
+            F.first("selfloop").alias("selfloop"),
+            F.first("cdeg_cur").alias("cdeg_cur"),
+            F.first("csize_cur").alias("csize_cur"),
         )
         if fuse_stats:
             obs_cur = Observation()
-            cur = cur.observe(obs_cur, F.sum("w_own").alias("e_xx"))
-        cur = cur.persist()
+            bestinfo = bestinfo.observe(obs_cur, F.sum("w_own").alias("e_xx"))
+        bestinfo = bestinfo.persist()
 
         if not fuse_stats:
             # --- modularity of the pre-move assignment (combined action) ---
@@ -652,7 +697,7 @@ def louvain_one_phase(
                     .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
                 )
             else:
-                exx_df = cur.agg(F.sum("w_own").alias("e_xx"))
+                exx_df = bestinfo.agg(F.sum("w_own").alias("e_xx"))
             stats = (
                 exx_df
                 .crossJoin(
@@ -691,53 +736,32 @@ def louvain_one_phase(
                 "gain": curr_mod - prev_mod,
             }
             if stop:
-                pending.extend([cinfo, counter, cur])
+                pending.extend([cinfo, bestinfo])
                 break
 
-        # --- candidate gains + argmax --------------------------------------
-        cand = (
-            counter.join(cur, "v")
-            .filter(F.col("cand") != F.col("comm"))
-            .join(
-                cinfo.select(F.col("comm").alias("cand"), F.col("cdeg").alias("ay"),
-                             F.col("csize").alias("csize_cand")),
-                "cand",
-            )
+        # --- gain of the single best candidate + move decision -------------
+        # gain (`utilityClusteringFunctions.cpp:226-259`) evaluated only on
+        # the winner; the >0 filter commutes with the argmax because gain
+        # is a strictly monotone transform of the score used to pick it.
+        # Singleton-swap protection compares the target to the CURRENT
+        # COMMUNITY id (maxIndex > sc, `:254-256`), not the vertex id.
+        best = (
+            bestinfo.withColumn("cand", F.col("b.cand"))
+            .filter(F.col("cand").isNotNull() & (F.col("cand") != F.col("comm")))
             .withColumn("eix", F.col("w_own") - F.col("selfloop"))
             .withColumn("ax", F.col("cdeg_cur") - F.col("deg"))
             .withColumn(
                 "gain",
-                2.0 * (F.col("wsum") - F.col("eix"))
-                - 2.0 * F.col("deg") * (F.col("ay") - F.col("ax")) * F.lit(const),
+                2.0 * (F.col("b.wsum") - F.col("eix"))
+                - 2.0 * F.col("deg") * (F.col("b.ay") - F.col("ax")) * F.lit(const),
             )
             .filter(F.col("gain") > 0)
-        )
-        # argmax with (gain desc, cand asc) tie-break (`:245-248`) as a
-        # HASH AGGREGATION — min_by over (−gain, cand) — not a window sort:
-        # partial aggregation runs map-side, so the shuffle carries one row
-        # per (vertex, partial winner) instead of every candidate row
-        best = (
-            cand.groupBy("v")
-            .agg(
-                F.min_by(
-                    F.struct(
-                        F.col("comm"), F.col("cand"), F.col("csize_cand"),
-                        F.col("csize_cur").alias("csize_me"),
-                    ),
-                    F.struct((-F.col("gain")).alias("ng"), F.col("cand")),
-                ).alias("b")
+            .withColumn(
+                "blocked",
+                (F.col("b.csize_cand") == 1)
+                & (F.col("csize_cur") == 1)
+                & (F.col("cand") > F.col("comm")),
             )
-            .select("v", "b.comm", "b.cand", "b.csize_cand", "b.csize_me")
-        )
-        # singleton-swap protection (`utilityClusteringFunctions.cpp:254-256`):
-        # the reference compares the target to the CURRENT COMMUNITY id
-        # (maxIndex > sc), not the vertex id — they differ once a vertex
-        # occupies a singleton community whose id isn't its own
-        best = best.withColumn(
-            "blocked",
-            (F.col("csize_cand") == 1)
-            & (F.col("csize_me") == 1)
-            & (F.col("cand") > F.col("comm")),
         )
         if sample_fraction is not None and sample_fraction < 1.0:
             # seeded per-iteration sampling: non-sampled vertices keep comm
@@ -765,7 +789,7 @@ def louvain_one_phase(
             committed = runner.commit(step, new_assign, {"op": "louvain"})
             for df_ in retired:
                 df_.unpersist()
-            retired = pending + [cinfo, counter, cur]
+            retired = pending + [cinfo, bestinfo]
             pending = []
             try:
                 e_xx = obs_cur.get["e_xx"] or 0.0
@@ -776,10 +800,10 @@ def louvain_one_phase(
                 # empty (exactly the convergence iteration: a left join
                 # whose build side turned out empty is rewritten away,
                 # and the observation row comes back schemaless).
-                # Recompute directly — cur/cinfo are persisted, so this
-                # is one cheap agg, paid once per phase at most.
+                # Recompute directly — bestinfo/cinfo are persisted, so
+                # this is one cheap agg, paid once per phase at most.
                 row = (
-                    cur.agg(F.sum("w_own").alias("e_xx"))
+                    bestinfo.agg(F.sum("w_own").alias("e_xx"))
                     .crossJoin(
                         cinfo.agg(
                             F.sum(F.col("cdeg") * F.col("cdeg")).alias("a2_x")
@@ -836,7 +860,7 @@ def louvain_one_phase(
             # re-run the argmax window
             assign = new_assign.persist()
             pending.append(assign)
-        pending.extend([cinfo, counter, cur])
+        pending.extend([cinfo, bestinfo])
 
     prev_assign = cut_lineage(
         prev_assign.select("v", "comm"), tag="result", keep_last=64

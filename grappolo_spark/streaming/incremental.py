@@ -80,6 +80,35 @@ def stream_windowed_events_to_parquet(
     )
 
 
+def stream_to_compactable_parquet(
+    agg_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> "object":
+    """Append-mode sink WITHOUT a ``_spark_metadata`` log, safe to compact.
+
+    Each micro-batch lands in ``<out_dir>/batch=<id>`` via
+    ``mode("overwrite")``: a batch replayed after a crash (committed to
+    the sink but not yet to the checkpoint) overwrites its OWN directory,
+    so the layout is idempotent — exactly-once at batch granularity with
+    plain parquet. Readers ``spark.read.parquet(out_dir)`` and get a
+    ``batch`` partition column as per-batch lineage. Pair with
+    :func:`grappolo_spark.streaming.compaction.compact_parquet_dir`
+    between runs to bound the file count.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        agg_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
