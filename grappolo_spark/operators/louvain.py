@@ -8,10 +8,13 @@ Jacobi-style (all vertices move against the *previous* iteration's
 assignment), which is exactly Spark's BSP model, so semantics line up
 without emulation.
 
-Per-iteration plan (3 shuffles, all hash aggregations with map-side
-partial agg: the gather groupBy, the community agg, the argmax min_by —
-plus ONE action, the state commit, which carries the modularity stats as
-observed metrics):
+Per-iteration plan (3 shuffles, every aggregation partial+final so the
+exchange carries one row per (group, partition): the gather groupBy, the
+community agg, and the single-pass argmax/w_own aggregate — plus ONE
+action, the state commit, which carries the modularity stats as observed
+metrics. The argmax is a ``min_by`` aggregation; its struct payload makes
+Spark pick SortAggregate, but the sort is per-partition (distributed) and
+the partial step still reduces the shuffle to O(V)):
 
 1. gather   : edges ⋈ assign(dst) → groupBy(src, comm_dst).sum(weight)
               (= ``buildLocalMapCounter``, `utilityClusteringFunctions.cpp:172-194`);

@@ -58,6 +58,60 @@ def main() -> int:
     )
     sections.append(("louvain gather superstep", grab(gather)))
 
+    # 3b. single-pass best-candidate aggregation (round 3 kernel): one
+    #     groupBy(v) yields argmax + own-community weight; the O(V) sides
+    #     broadcast so the O(E) counter is never sort-merge-sorted
+    vdeg0 = g.degrees()
+    cinfo0 = (
+        assign.join(vdeg0.select("v", "deg"), "v")
+        .groupBy("comm")
+        .agg(F.sum("deg").alias("cdeg"), F.count(F.lit(1)).alias("csize"))
+    )
+    state0 = (
+        assign.join(vdeg0.select("v", "deg"), "v")
+        .join(
+            cinfo0.select(
+                "comm",
+                F.col("cdeg").alias("cdeg_cur"),
+                F.col("csize").alias("csize_cur"),
+            ),
+            "comm",
+        )
+        .select("v", "comm", "deg", "cdeg_cur", "csize_cur")
+    )
+    cinfo_cand = cinfo0.select(
+        F.col("comm").alias("cand"), F.col("cdeg").alias("ay"),
+        F.col("csize").alias("csize_cand"),
+    )
+    bestinfo = (
+        gather.join(F.broadcast(state0), "v")
+        .join(F.broadcast(cinfo_cand), "cand")
+        .withColumn("is_own", F.col("cand") == F.col("comm"))
+        .withColumn(
+            "score", F.col("wsum") - F.col("deg") * F.col("ay") * F.lit(1e-6)
+        )
+        .groupBy("v")
+        .agg(
+            F.min_by(
+                F.struct("cand", "wsum", "ay", "csize_cand"),
+                F.struct(
+                    F.when(F.col("is_own"), F.lit(float("inf")))
+                    .otherwise(-F.col("score"))
+                    .alias("ns"),
+                    F.col("cand"),
+                ),
+            ).alias("b"),
+            F.sum(
+                F.when(F.col("is_own"), F.col("wsum")).otherwise(F.lit(0.0))
+            ).alias("w_own"),
+            F.first("comm").alias("comm"),
+        )
+    )
+    sections.append(
+        ("louvain single-pass argmax + w_own (hash agg, broadcast state)",
+         grab(bestinfo))
+    )
+
     # 4. pagerank contribution superstep
     from grappolo_spark.operators.pagerank import pagerank  # noqa: F401
     wout = edges.groupBy(F.col("src").alias("v")).agg(F.sum("weight").alias("wout"))
@@ -114,6 +168,18 @@ def main() -> int:
     if "BroadcastHashJoin" not in bplan:
         print("WARN: broadcast pagerank superstep did not broadcast")
         ok = False
+    bi = txt["louvain single-pass argmax + w_own (hash agg, broadcast state)"]
+    # the two O(E)-side joins (counter x state0, x cinfo_cand) must be
+    # broadcast; SMJ between the O(V) internals of state0 is fine and AQE
+    # usually converts it at runtime, so it is informational only
+    if "BroadcastHashJoin" not in bi:
+        print("WARN: bestinfo O(V) sides did not broadcast")
+        ok = False
+    print(
+        "bestinfo joins:",
+        {k: bi.count(k) for k in ("BroadcastHashJoin", "SortMergeJoin")},
+        "(SMJ only between O(V) internals is fine)",
+    )
     print("OK" if ok else "CHECK PLANS.md")
     spark.stop()
     return 0
