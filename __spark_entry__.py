@@ -430,7 +430,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         g = build_parts_graph(spark, sf)
-        colors = equitable_rebalance(g, distance_one_coloring(g), num_colors=16)
+        # max_rounds=6 bounds the driver-gate wall time; the validity
+        # invariant (properness) holds after ANY number of rounds
+        colors = equitable_rebalance(
+            g, distance_one_coloring(g), num_colors=16, max_rounds=6
+        )
         c_src = colors.select(F.col("v").alias("src"), F.col("color").alias("c1"))
         c_dst = colors.select(F.col("v").alias("dst"), F.col("color").alias("c2"))
         return (

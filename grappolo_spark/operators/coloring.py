@@ -458,16 +458,29 @@ def equitable_rebalance(
 
     for _ in range(max_rounds):
         spark = colors.sparkSession
-        palette = spark.range(num_colors).select(F.col("id").cast("int").alias("color"))
-        sizes = palette.join(
-            colors.groupBy("color").agg(F.count(F.lit(1)).alias("s")), "color", "left"
-        ).select("color", F.coalesce("s", F.lit(0)).alias("size"))
-        over = sizes.filter(F.col("size") > cap)
-        if over.isEmpty():
+        # ONE action per round for the balance decision: the histogram is
+        # at most palette-sized, so collect it and split over/under on the
+        # driver (was two isEmpty actions re-evaluating the sizes plan)
+        counts = {
+            r["color"]: r["s"]
+            for r in colors.groupBy("color")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .collect()
+        }
+        over_rows = [
+            (c, counts.get(c, 0))
+            for c in range(num_colors)
+            if counts.get(c, 0) > cap
+        ]
+        under_rows = [
+            (c, counts.get(c, 0))
+            for c in range(num_colors)
+            if counts.get(c, 0) < cap
+        ]
+        if not over_rows or not under_rows:
             break
-        under = sizes.filter(F.col("size") < cap).withColumnRenamed("color", "ucolor")
-        if under.isEmpty():
-            break
+        over = spark.createDataFrame(over_rows, "color int, size long")
+        under = spark.createDataFrame(under_rows, "ucolor int, size long")
         # movable: excess vertices of over-full classes (largest ids move,
         # a deterministic stand-in for the reference's arbitrary thread order)
         ranked = colors.join(over, "color").select(

@@ -42,6 +42,8 @@ def _local_lpa(g: Graph, max_iters: int, stop_on_converge: bool) -> DataFrame:
     d = np.searchsorted(ids, dst)
     nv = len(ids)
     labels = np.arange(nv, dtype=np.int64)
+    from grappolo_spark.operators.louvain import _first_group_starts
+
     for _ in range(max_iters):
         key = s * nv + labels[d]
         uk, inv = np.unique(key, return_inverse=True)
@@ -49,7 +51,7 @@ def _local_lpa(g: Graph, max_iters: int, stop_on_converge: bool) -> DataFrame:
         gv = (uk // nv).astype(np.int64)
         gl = (uk % nv).astype(np.int64)
         order = np.lexsort((gl, -wsum, gv))
-        first = np.unique(gv[order], return_index=True)[1]
+        first = _first_group_starts(gv[order])
         new = labels.copy()
         new[gv[order][first]] = gl[order][first]
         changed = bool((new != labels).any())

@@ -226,6 +226,21 @@ def _collect_edges_np(g: Graph):
     )
 
 
+def _first_group_starts(sorted_arr):
+    """Indices of the first element of each run in a SORTED array — what
+    ``np.unique(..., return_index=True)[1]`` computes, without re-sorting
+    (two passes instead of an O(n log n) sort; this box's throttled
+    memory bus makes every full-width pass count)."""
+    import numpy as np
+
+    if len(sorted_arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    mask = np.empty(len(sorted_arr), dtype=bool)
+    mask[0] = True
+    np.not_equal(sorted_arr[1:], sorted_arr[:-1], out=mask[1:])
+    return np.flatnonzero(mask)
+
+
 def _smart_init_np(s, d, w, vdeg, const, nv):
     """Numpy mirror of :func:`_singleton_sweep_best` — the initCommAssOpt
     one-pass warm start in index space: gain ``2*w − 2*deg_u*deg_v*const``
@@ -242,7 +257,7 @@ def _smart_init_np(s, d, w, vdeg, const, nv):
     comm = np.arange(nv, dtype=np.int64)
     if len(ss):
         order = np.lexsort((dd, -gain, ss))
-        first = np.unique(ss[order], return_index=True)[1]
+        first = _first_group_starts(ss[order])
         pick_v, pick_c = ss[order][first], dd[order][first]
         keep = pick_c < pick_v
         comm[pick_v[keep]] = pick_c[keep]
@@ -292,20 +307,32 @@ def _local_kernel(s, d, w, nv, directed, thresh, lower, max_iters,
         if (curr_mod - prev_mod) < thresh:
             break
 
+        # reduced-score argmax (same trick as the distributed kernel):
+        # eix/ax shift every candidate's gain by the same per-vertex
+        # constant, so ordering by ``cw − deg·a_y·const`` picks the same
+        # winner with the same (score desc, cand asc) tie-break, and the
+        # full gain formula runs only on the O(V) winners — fewer full-
+        # width passes over the candidate arrays (this box's throttled
+        # memory bus makes each pass the dominant cost)
         cand_mask = ~own
         cv, cc, cw = gv[cand_mask], gc[cand_mask], wsum[cand_mask]
-        eix = w_own[cv] - selfw[cv]
-        ax = cdeg[comm[cv]] - vdeg[cv]
-        ay = cdeg[cc]
-        gain = 2.0 * (cw - eix) - 2.0 * vdeg[cv] * (ay - ax) * const
-        pos = gain > 0
-        cv, cc, gain = cv[pos], cc[pos], gain[pos]
         best = np.full(nv, -1, dtype=np.int64)
         if len(cv):
-            order = np.lexsort((cc, -gain, cv))
-            first = np.unique(cv[order], return_index=True)[1]
+            score = cw - vdeg[cv] * cdeg[cc] * const
+            order = np.lexsort((cc, -score, cv))
+            first = _first_group_starts(cv[order])
             pick_v = cv[order][first]
             pick_c = cc[order][first]
+            pick_w = cw[order][first]
+            eix = w_own[pick_v] - selfw[pick_v]
+            ax = cdeg[comm[pick_v]] - vdeg[pick_v]
+            ay = cdeg[pick_c]
+            gain = (
+                2.0 * (pick_w - eix)
+                - 2.0 * vdeg[pick_v] * (ay - ax) * const
+            )
+            keep = gain > 0
+            pick_v, pick_c = pick_v[keep], pick_c[keep]
             blocked = (
                 (csize[pick_c] == 1)
                 & (csize[comm[pick_v]] == 1)
