@@ -464,6 +464,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents"), n=3, threshold=0.3, max_shingle_df=50
         )
 
+    def q_dedup_clusters(spark, sf):
+        # pair table -> duplicate clusters via the engine's own CC; the
+        # oracle recomputes the identical pairs in SQL and resolves them
+        # with a recursive CTE
+        pairs = D.ngram_jaccard_pairs(
+            _read(spark, sf, "documents"), n=3, threshold=0.3, max_shingle_df=50
+        )
+        return D.dedup_clusters(pairs)
+
     def q_minhash(spark, sf):  # rows-only (xxhash64 sketch)
         return D.minhash_lsh_pairs(
             _read(spark, sf, "documents"), num_hashes=32, bands=8, threshold=0.5
@@ -552,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_histogram": q_coloring_histogram,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_minhash,
         "simhash_buckets": q_simhash,
         "token_count": q_tokens,
@@ -936,6 +946,47 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(ninter / (sa.sz + sb.sz - ninter), 6) >= 0.3
+"""
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS ts FROM documents)
+),
+sh_all AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+rare AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50),
+sh AS (SELECT doc_id, s.shingle FROM sh_all s JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(ninter / (sa.sz + sb.sz - ninter), 6) >= 0.3
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(v, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.v
+)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS keep_id
+FROM reach GROUP BY v
 """
 
     sql["token_count"] = f"""

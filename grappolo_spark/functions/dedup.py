@@ -259,3 +259,38 @@ def simhash_buckets(
         for b in range(nbands)
     ]
     return sim.select("id", "simhash", *band_cols)
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, keep_id): resolve a near-duplicate PAIR table into
+    duplicate CLUSTERS — the step every fuzzy-dedup pipeline needs after
+    candidate generation. Near-duplication is not transitive, but the
+    standard corpus-dedup policy (MinHash dedup a la web-scale pipelines)
+    keeps one representative per CONNECTED COMPONENT of the pair graph:
+    this runs the engine's own scalable CC (small-star/large-star) over
+    the pairs and labels every clustered doc with the smallest id of its
+    cluster (``keep_id``). Docs with no near-duplicate don't appear —
+    callers left-join and coalesce to self:
+
+        docs.join(clusters, "doc_id", "left")
+            .filter((col("keep_id").isNull()) | (col("keep_id") == col("doc_id")))
+
+    Composes with ANY of the pair generators in this module
+    (ngram_jaccard_pairs / minhash_lsh_pairs / simhash bands /
+    embedding_near_dup_pairs).
+    """
+    from grappolo_spark.graph import Graph
+    from grappolo_spark.operators.components import connected_components
+
+    g = Graph.from_edgelist(
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+    )
+    cc = connected_components(g)
+    return cc.select(
+        F.col("v").alias("doc_id"), F.col("component").alias("keep_id")
+    )

@@ -425,6 +425,7 @@ def louvain_one_phase_colored(
         assignment=prev_assign.select("v", "comm"),
         modularity=prev_mod,
         iterations=num_itrs,
+        two_m=two_m,
     )
 
 

@@ -67,10 +67,16 @@ def _small_star(pairs: DataFrame) -> DataFrame:
 
 
 def _local_union_find(pairs: DataFrame) -> DataFrame:
-    """Driver-local path for small graphs: one Arrow collect, array-based
-    union-find with path compression, labels = min id per component — the
-    same labels the star rounds converge to, without ~6 rounds of fixed
-    distributed-job overhead. Callers gate on edge-row count."""
+    """Driver-local path for small graphs: one Arrow collect, then fully
+    VECTORIZED min-label propagation with pointer jumping — labels = min
+    id per component, the same labels the star rounds converge to,
+    without ~6 rounds of fixed distributed-job overhead.
+
+    Vectorized (sort once, then ``minimum.reduceat`` per round + pointer
+    doubling, O(log n) rounds) instead of a per-edge Python union-find
+    loop: at the 2M-row gate a Python loop costs tens of seconds on this
+    box's throttled single core; array passes stay milliseconds.
+    Callers gate on edge-row count."""
     import numpy as np
     import pandas as pd
 
@@ -83,27 +89,33 @@ def _local_union_find(pairs: DataFrame) -> DataFrame:
     ids = np.unique(np.concatenate([u, v]))
     ui = np.searchsorted(ids, u)
     vi = np.searchsorted(ids, v)
-    parent = np.arange(len(ids), dtype=np.int64)
+    n = len(ids)
 
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
+    # symmetrized endpoint lists, sorted by source once
+    a = np.concatenate([ui, vi])
+    b = np.concatenate([vi, ui])
+    order = np.argsort(a, kind="stable")
+    a_s, b_s = a[order], b[order]
+    run_mask = np.empty(len(a_s), dtype=bool)
+    run_mask[0] = True
+    np.not_equal(a_s[1:], a_s[:-1], out=run_mask[1:])
+    starts = np.flatnonzero(run_mask)
+    srcs = a_s[starts]
 
-    for a, b in zip(ui.tolist(), vi.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by smaller index: keeps the root the min-id member
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        # min neighbor label per source (one reduceat over the sorted list;
+        # fancy-indexed assignment — an `out=` through fancy indexing would
+        # silently write to a copy)
+        nxt[srcs] = np.minimum(nxt[srcs], np.minimum.reduceat(lab[b_s], starts))
+        # pointer doubling: jump through the current label's label
+        np.minimum(nxt, nxt[nxt], out=nxt)
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
     return spark.createDataFrame(
-        pd.DataFrame({"v": ids, "component": ids[roots]}),
+        pd.DataFrame({"v": ids, "component": ids[lab]}),
         "v long, component long",
     )
 

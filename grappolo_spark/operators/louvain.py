@@ -98,6 +98,9 @@ class LouvainPhaseResult:
     assignment: DataFrame  # (v, comm)
     modularity: float  # prevMod, as returned by the reference kernel
     iterations: int
+    # total edge weight (2m), conserved by coarsening — multiphase feeds it
+    # back to later phases as two_m_hint so they skip the stats action
+    two_m: float = 0.0
 
 
 def _singleton_sweep_best(edges: DataFrame, vdeg: DataFrame, const: float) -> DataFrame:
@@ -469,6 +472,8 @@ def louvain_one_phase(
     smart_init: bool = False,
     broadcast_assign: bool | None = None,
     broadcast_max_vertices: int = 5_000_000,
+    two_m_hint: float | None = None,
+    nv_hint: int | None = None,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """Run one modularity-optimization level to its convergence threshold.
@@ -511,21 +516,34 @@ def louvain_one_phase(
     vdeg = vdeg_full.select("v", "deg")
     # one action yields 2m AND the max degree (hub detection for salting)
     # AND |V| (broadcast-plan selection): sum of per-vertex degrees ==
-    # total edge-row weight
-    stats0 = vdeg_full.agg(
-        F.sum("deg").alias("tw"),
-        F.max("out_degree").alias("maxdeg"),
-        F.count(F.lit(1)).alias("nv"),
-    ).collect()[0]
-    two_m = stats0["tw"] or 0.0
-    if broadcast_assign is None:
-        broadcast_assign = (stats0["nv"] or 0) <= broadcast_max_vertices
-    # hub skew: route the gather through a two-stage salted aggregation
-    # when any vertex's neighbor list exceeds the threshold (the DataFrame
-    # analogue of the reference's per-thread partial maps,
-    # `parallelLouvainMethodScale.cpp:86-90`); below it, Spark's map-side
-    # partial agg absorbs the skew for free
-    use_salting = (stats0["maxdeg"] or 0) > salt_threshold
+    # total edge-row weight. Multiphase callers pass hints for coarse
+    # phases instead — 2m is conserved by coarsening and |V| equals the
+    # previous phase's cluster count, so when nv_hint is also under the
+    # salting threshold (max degree <= nv-1) the whole action is skipped.
+    if (
+        two_m_hint is not None
+        and nv_hint is not None
+        and nv_hint <= salt_threshold
+    ):
+        two_m = two_m_hint
+        use_salting = False
+        if broadcast_assign is None:
+            broadcast_assign = nv_hint <= broadcast_max_vertices
+    else:
+        stats0 = vdeg_full.agg(
+            F.sum("deg").alias("tw"),
+            F.max("out_degree").alias("maxdeg"),
+            F.count(F.lit(1)).alias("nv"),
+        ).collect()[0]
+        two_m = stats0["tw"] or 0.0
+        use_salting = (stats0["maxdeg"] or 0) > salt_threshold
+        if broadcast_assign is None:
+            broadcast_assign = (stats0["nv"] or 0) <= broadcast_max_vertices
+    # hub skew (use_salting above): the gather routes through a two-stage
+    # salted aggregation when any vertex's neighbor list exceeds the
+    # threshold (the DataFrame analogue of the reference's per-thread
+    # partial maps, `parallelLouvainMethodScale.cpp:86-90`); below it,
+    # Spark's map-side partial agg absorbs the skew for free
     if two_m == 0.0:
         empty = spark.createDataFrame([], "v long, comm long")
         return LouvainPhaseResult(empty, 0.0, 0)
@@ -903,4 +921,5 @@ def louvain_one_phase(
         assignment=prev_assign.select("v", "comm"),
         modularity=prev_mod,
         iterations=num_itrs,
+        two_m=two_m,
     )

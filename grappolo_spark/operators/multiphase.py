@@ -39,7 +39,11 @@ from grappolo_spark.plans.iteration import cut_lineage
 from grappolo_spark.plans.ranking import dense_rank_ids
 
 
-def renumber_contiguously(assign: DataFrame) -> tuple[DataFrame, int]:
+def renumber_contiguously(
+    assign: DataFrame,
+    size_hint: int | None = None,
+    small_threshold: int = 100_000,
+) -> tuple[DataFrame, int]:
     """Renumber communities to dense 0..k-1.
 
     The reference renumbers in first-appearance order of a serial 0..NV-1
@@ -47,12 +51,39 @@ def renumber_contiguously(assign: DataFrame) -> tuple[DataFrame, int]:
     by their minimum member vertex id. We reproduce that rank — deterministic
     and distributed (groupBy + a k-row window, k = #communities).
     Sentinel −1 (isolated, dropped by vertex following) stays −1.
+
+    ``size_hint`` (an upper bound on k — multiphase passes the phase's
+    vertex count) selects a driver-side fast path below
+    ``small_threshold``: collect the k (comm, min-member) pairs, rank on
+    the driver, broadcast the mapping back — ONE action instead of the
+    distributed ranking's range-exchange + counts + window + cut, which
+    is pure fixed overhead for the few-thousand-cluster coarse phases.
+    Identical output either way; without a hint the distributed path runs
+    (a billion-community phase 1 must never collect).
     """
     firsts = (
         assign.filter(F.col("comm") >= 0)
         .groupBy("comm")
         .agg(F.min("v").alias("first_v"))
     )
+    spark = assign.sparkSession
+    if size_hint is not None and size_hint <= small_threshold:
+        rows = sorted(firsts.collect(), key=lambda r: r["first_v"])
+        k = len(rows)
+        if k == 0:
+            out = assign.select("v", F.lit(-1).cast("long").alias("comm")).limit(0)
+            return out, 0
+        mapping = spark.createDataFrame(
+            [(r["comm"], i) for i, r in enumerate(rows)],
+            "comm long, new_comm long",
+        )
+        out = (
+            assign.join(F.broadcast(mapping), "comm", "left")
+            .select(
+                "v", F.coalesce("new_comm", F.lit(-1)).cast("long").alias("comm")
+            )
+        )
+        return out, k
     # distributed partition-offset ranking (runs EVERY phase — a global
     # single-partition window here would funnel ~|V|/2 community ids
     # through one task at phase 1); k falls out of the offsets for free
@@ -183,6 +214,7 @@ def louvain(
     phase_maps = []  # deferred C_orig folds: one composed join at the end
     cur_g = g
     prev_k = None  # phase p+1's vertex count == phase p's cluster count
+    two_m_seen = None  # 2m from phase 1's kernel — conserved by coarsening
 
     while True:
         nv = prev_k if prev_k is not None else cur_g.num_vertices()
@@ -242,12 +274,20 @@ def louvain(
                 seed=seed,
                 early_terminate=early_terminate,
                 ftr_phase=phase if fast_track_resistance else None,
+                # coarse phases skip the stats action: 2m is conserved by
+                # coarsening and |V| == the previous phase's cluster count
+                two_m_hint=two_m_seen,
+                nv_hint=prev_k,
                 run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
             )
+        if res.two_m:
+            two_m_seen = res.two_m
         curr_mod = res.modularity
         tot_itr += res.iterations
 
-        assign, num_clusters = renumber_contiguously(res.assignment)
+        # nv bounds the cluster count, selecting the driver-side renumber
+        # for small (coarse) phases
+        assign, num_clusters = renumber_contiguously(res.assignment, size_hint=nv)
         # keep_last must outlive the whole run: the end-of-run fold reads
         # every phase's assignment parquet
         assign = cut_lineage(assign, tag="phase_assign", keep_last=256)

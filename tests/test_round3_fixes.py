@@ -153,6 +153,35 @@ def test_ngram_jaccard_exact_by_default(spark):
 
 
 # ---------------------------------------------------------------------------
+# dedup cluster resolution + renumber driver fast path
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_clusters_resolves_pair_graph(spark):
+    from grappolo_spark.functions.dedup import dedup_clusters
+
+    # two chains (1-2-3, 10-11) and a singleton pair (20-21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.keep_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_renumber_driver_path_matches_distributed(spark):
+    from grappolo_spark.operators.multiphase import renumber_contiguously
+
+    assign = spark.createDataFrame(
+        [(i, (i * 7) % 5 + 100) for i in range(40)] + [(40, -1)],
+        "v long, comm long",
+    )
+    a1, k1 = renumber_contiguously(assign)  # distributed ranking
+    a2, k2 = renumber_contiguously(assign, size_hint=50)  # driver path
+    assert k1 == k2 == 5
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+# ---------------------------------------------------------------------------
 # plan-regression guard (VERDICT #10): the hot O(N)-output plans must not
 # contain a single-partition exchange or a cartesian product
 # ---------------------------------------------------------------------------
