@@ -9,9 +9,9 @@ Each headline query runs best-of-N (default N=2, $SPARK_GRAFT_BENCH_REPEATS)
 and reports the MIN plus every raw run, so a single externally-loaded run on
 this shared box can't masquerade as a regression (the round-2 bench was one
 unguarded run and its pagerank number landed 2.7x off the recorded best).
-The two forced-distributed diagnostic lines (`cc_star_distributed`,
-`louvain_distributed`) run once — they exist to keep the 100x-scale plans
-measured, not to be the headline.
+The heavy forced-distributed diagnostic line (`louvain_distributed`) runs
+once — it exists to keep the 100x-scale plan measured, not to be the
+headline; `cc_star_distributed` is cheap enough to get best-of-N too.
 
 The headline throughput figure is edges/sec per superstep, measured on the
 PageRank loop (fixed 10 supersteps over the symmetrized cs edge table) —
@@ -94,7 +94,6 @@ def main() -> int:
     timed(
         "cc_star_distributed",
         lambda: connected_components(parts, local_threshold=0).count(),
-        n=1,
     )
     timed(
         "label_propagation_3it",
