@@ -317,65 +317,76 @@ def louvain_one_phase_colored(
                 .groupBy(F.col("src").alias("v"), F.col("comm_dst").alias("cand"))
                 .agg(F.sum("weight").alias("wsum"))
             )
-            cur = (
-                movers.join(
-                    cinfo.select(
-                        "comm",
-                        F.col("cdeg").alias("cdeg_cur"),
-                        F.col("csize").alias("csize_cur"),
-                    ),
+            # single-pass best candidate + own-community weight — same
+            # shape as the plain kernel: the argmax orders by the reduced
+            # score ``wsum − deg·a_y·const`` (eix/ax shift every
+            # candidate's gain equally), so ONE groupBy(v) yields the
+            # winner AND w_own; the gain formula and the swap protection
+            # (vs the CURRENT COMMUNITY id, maxIndex > sc,
+            # `utilityClusteringFunctions.cpp:254-256`) run only on the
+            # O(movers) winners
+            state0 = movers.join(
+                cinfo.select(
                     "comm",
+                    F.col("cdeg").alias("cdeg_cur"),
+                    F.col("csize").alias("csize_cur"),
+                ),
+                "comm",
+            ).select("v", "comm", "deg", "selfloop", "cdeg_cur", "csize_cur")
+            cinfo_cand = cinfo.select(
+                F.col("comm").alias("cand"), F.col("cdeg").alias("ay"),
+                F.col("csize").alias("csize_cand"),
+            )
+            bestinfo = (
+                counter.join(state0, "v")
+                .join(cinfo_cand, "cand")
+                .withColumn("is_own", F.col("cand") == F.col("comm"))
+                .withColumn(
+                    "score",
+                    F.col("wsum") - F.col("deg") * F.col("ay") * F.lit(const),
                 )
-                .join(
-                    counter.alias("c"),
-                    (F.col("c.v") == movers.v) & (F.col("c.cand") == F.col("comm")),
-                    "left",
-                )
-                .select(
-                    movers.v.alias("v"), "comm", "deg", "selfloop",
-                    "cdeg_cur", "csize_cur",
-                    F.coalesce("wsum", F.lit(0.0)).alias("w_own"),
+                .groupBy("v")
+                .agg(
+                    F.min_by(
+                        F.struct("cand", "wsum", "ay", "csize_cand"),
+                        F.struct(
+                            F.when(F.col("is_own"), F.lit(float("inf")))
+                            .otherwise(-F.col("score"))
+                            .alias("ns"),
+                            F.col("cand"),
+                        ),
+                    ).alias("b"),
+                    F.sum(
+                        F.when(F.col("is_own"), F.col("wsum")).otherwise(F.lit(0.0))
+                    ).alias("w_own"),
+                    F.first("comm").alias("comm"),
+                    F.first("deg").alias("deg"),
+                    F.first("selfloop").alias("selfloop"),
+                    F.first("cdeg_cur").alias("cdeg_cur"),
+                    F.first("csize_cur").alias("csize_cur"),
                 )
             )
-            cand = (
-                counter.join(cur, "v")
-                .filter(F.col("cand") != F.col("comm"))
-                .join(
-                    cinfo.select(
-                        F.col("comm").alias("cand"),
-                        F.col("cdeg").alias("ay"),
-                        F.col("csize").alias("csize_cand"),
-                    ),
-                    "cand",
+            best = (
+                bestinfo.withColumn("cand", F.col("b.cand"))
+                .filter(
+                    F.col("cand").isNotNull() & (F.col("cand") != F.col("comm"))
                 )
                 .withColumn("eix", F.col("w_own") - F.col("selfloop"))
                 .withColumn("ax", F.col("cdeg_cur") - F.col("deg"))
                 .withColumn(
                     "gain",
-                    2.0 * (F.col("wsum") - F.col("eix"))
-                    - 2.0 * F.col("deg") * (F.col("ay") - F.col("ax")) * F.lit(const),
+                    2.0 * (F.col("b.wsum") - F.col("eix"))
+                    - 2.0 * F.col("deg") * (F.col("b.ay") - F.col("ax"))
+                    * F.lit(const),
                 )
                 .filter(F.col("gain") > 0)
-            )
-            # argmax as a hash aggregation (min_by over (−gain, cand)) —
-            # map-side partial agg instead of a window sort; swap
-            # protection vs the CURRENT COMMUNITY id (maxIndex > sc,
-            # `utilityClusteringFunctions.cpp:254-256`)
-            best = (
-                cand.groupBy("v")
-                .agg(
-                    F.min_by(
-                        F.struct("comm", "cand", "csize_cand", "csize_cur"),
-                        F.struct((-F.col("gain")).alias("ng"), F.col("cand")),
-                    ).alias("b")
-                )
                 .select(
                     "v",
-                    F.col("b.cand").alias("cand"),
+                    "cand",
                     (
                         (F.col("b.csize_cand") == 1)
-                        & (F.col("b.csize_cur") == 1)
-                        & (F.col("b.cand") > F.col("b.comm"))
+                        & (F.col("csize_cur") == 1)
+                        & (F.col("cand") > F.col("comm"))
                     ).alias("blocked"),
                 )
             )
