@@ -162,6 +162,66 @@ def _pagerank_sql(iters: int = 10, alpha: float = 0.85) -> str:
     )
 
 
+def _louvain_sweeps_sql(iters: int = 2) -> str:
+    """Unrolled-SQL oracle for ``iters`` Jacobi sweeps of the Louvain
+    kernel from the all-singleton start over the cs graph (no self-loops,
+    integer count weights — every intermediate double is bit-identical
+    between engines: sums of integers are exact, and each rounded product
+    is a single identically-ordered multiply). Mirrors the kernel exactly:
+    gather, community info, reduced-score argmax with (score desc, cand
+    asc) tie-break, gain>0 filter on the winner, singleton-swap
+    protection vs the CURRENT community id, Jacobi update."""
+    parts = [
+        CS_EDGES_CTE.strip(),
+        "deg AS (SELECT src AS v, sum(weight) AS deg FROM cs_edges GROUP BY 1)",
+        "twom AS (SELECT sum(weight) AS m2 FROM cs_edges)",
+        "a0 AS (SELECT v, v AS comm FROM deg)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""cinfo{k} AS (
+  SELECT a.comm, sum(d.deg) AS cdeg, count(*) AS csize
+  FROM a{k} a JOIN deg d ON d.v = a.v GROUP BY a.comm
+),
+counter{k} AS (
+  SELECT e.src AS v, a.comm AS cand, sum(e.weight) AS wsum
+  FROM cs_edges e JOIN a{k} a ON a.v = e.dst
+  GROUP BY 1, 2
+),
+wown{k} AS (
+  SELECT c.v, sum(c.wsum) AS w_own
+  FROM counter{k} c JOIN a{k} a ON a.v = c.v AND a.comm = c.cand
+  GROUP BY c.v
+),
+best{k} AS (
+  SELECT v, cand FROM (
+    SELECT c.v, c.cand,
+           row_number() OVER (
+             PARTITION BY c.v
+             ORDER BY c.wsum - dv.deg * cc.cdeg * (1.0 / (SELECT m2 FROM twom)) DESC,
+                      c.cand ASC
+           ) AS rn,
+           2.0 * (c.wsum - COALESCE(w.w_own, 0.0))
+             - 2.0 * dv.deg * (cc.cdeg - (cu.cdeg - dv.deg))
+               * (1.0 / (SELECT m2 FROM twom)) AS gain,
+           (cc.csize = 1 AND cu.csize = 1 AND c.cand > av.comm) AS blocked
+    FROM counter{k} c
+    JOIN a{k} av ON av.v = c.v
+    JOIN deg dv ON dv.v = c.v
+    JOIN cinfo{k} cc ON cc.comm = c.cand
+    JOIN cinfo{k} cu ON cu.comm = av.comm
+    LEFT JOIN wown{k} w ON w.v = c.v
+    WHERE c.cand <> av.comm
+  ) WHERE rn = 1 AND gain > 0 AND NOT blocked
+),
+a{k + 1} AS (
+  SELECT a.v, CAST(COALESCE(b.cand, a.comm) AS BIGINT) AS comm
+  FROM a{k} a LEFT JOIN best{k} b ON b.v = a.v
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT v, comm FROM a{iters}"
+
+
 def _lpa_sql(iters: int = 3) -> str:
     parts = [
         PARTS_EDGES_CTE.strip(),
@@ -394,6 +454,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = build_cs_graph(spark, sf)
         return louvain(g, max_phases=3).assignment
 
+    def q_louvain_sweeps(spark, sf):
+        # VALUE-level oracle for the distributed Louvain kernel itself:
+        # thresh=-1e9 disables the (data-dependent) convergence stop, so
+        # the kernel runs a fixed number of Jacobi sweeps and returns the
+        # assignment after exactly TWO moves — which the unrolled SQL
+        # reproduces bit-for-bit (integer weights, identical fp op order)
+        from grappolo_spark.operators.louvain import louvain_one_phase
+
+        g = build_cs_graph(spark, sf)
+        return louvain_one_phase(g, max_iters=3, thresh=-1e9).assignment
+
     def q_louvain_distributed(spark, sf):  # rows-only (iterative, non-SQL)
         # forces the DISTRIBUTED multiphase loop (gather/argmax supersteps,
         # coarsen, renumber) end-to-end — the driver-local numpy tail never
@@ -555,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_compare": q_compare,
         "gini_nation": q_gini,
         "louvain_communities": q_louvain,
+        "louvain_sweeps2": q_louvain_sweeps,
         "louvain_distributed": q_louvain_distributed,
         "coloring_valid": q_coloring_valid,
         "equitable_valid": q_equitable_valid,
@@ -633,6 +705,7 @@ SELECT v, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY v
     sql["pagerank"] = _pagerank_sql(10, 0.85)
     sql["label_propagation"] = _lpa_sql(3)
     sql["lpa_distributed"] = _lpa_sql(3)
+    sql["louvain_sweeps2"] = _louvain_sweeps_sql(2)
 
     # validity oracles: a proper (distance-1) coloring has NO monochromatic
     # edge, before and after equitable rebalancing — the oracle is the
