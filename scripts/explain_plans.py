@@ -158,7 +158,9 @@ def main() -> int:
     gather_plan = txt["louvain gather superstep"]
     n_exchanges = gather_plan.count("Exchange")
     print(f"gather exchanges: {n_exchanges} (expect small; edge side cached pre-partitioned)")
-    print("WholeStageCodegen spans in gather:", gather_plan.count("WholeStageCodegen"))
+    # formatted mode tags codegen per-operator ("[codegen id : n]"), not
+    # as WholeStageCodegen blocks
+    print("codegen-tagged operators in gather:", gather_plan.count("codegen id"))
     all_plans = "\n".join(p for _, p in sections)
     n_single = all_plans.count("Exchange SinglePartition")
     print(f"single-partition exchanges anywhere: {n_single} (expect 0)")
