@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from grappolo_spark.graph import Graph
-from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
+from grappolo_spark.plans.iteration import (
+    SuperstepRunner,
+    cut_lineage,
+    read_observation,
+)
 
 def _checksum_aggs():
     # built lazily — Column construction needs an active SparkContext
@@ -52,10 +56,19 @@ def _large_star(pairs: DataFrame, dedup: bool = True) -> DataFrame:
 
 def _small_star(pairs: DataFrame) -> DataFrame:
     """Orient each edge to its larger endpoint; connect all smaller
-    neighbors (and the vertex) to the minimum."""
+    neighbors (and the vertex) to the minimum.
+
+    The oriented input is NOT deduplicated: the min-aggregate absorbs
+    duplicate rows, and duplicates that flow through the join into
+    ``nbr_edges`` are absorbed by the trailing output distinct — the same
+    contract ``_large_star(dedup=False)`` exposes in the other direction.
+    Dropping the input distinct removes one full-width shuffle per
+    large+small-star round (the input arrives straight off large-star's
+    un-deduplicated join output).
+    """
     oriented = pairs.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
+    )
     m = oriented.groupBy("u").agg(F.min("v").alias("m"))
     nbr_edges = (
         oriented.join(m, "u")
@@ -174,16 +187,24 @@ def connected_components(
             pairs = _small_star(_large_star(pairs, dedup=False))
             if (step + 1) % max(1, check_every) != 0:
                 continue
-            # convergence checksum rides the commit write as observed
-            # metrics (CollectMetrics on the state plan): ONE action per
-            # round instead of commit + a separate count/bit_xor job
+            # convergence checksum rides the round's single materializing
+            # action as observed metrics (CollectMetrics on the state
+            # plan). Scratch rounds localCheckpoint — materialize + plan
+            # truncation with no parquet round-trip (a star round
+            # references its input several times, so truncation is
+            # required either way); durable runs commit through the
+            # runner so every superstep is resumable.
             obs = Observation()
-            pairs = runner.commit(
-                step, pairs.observe(obs, *_checksum_aggs()), {"op": "cc_star"}
-            )
-            try:
-                cur = (obs.get["n"], obs.get["h"])
-            except Exception:
+            observed = pairs.observe(obs, *_checksum_aggs())
+            if run_dir is not None:
+                pairs = runner.commit(step, observed, {"op": "cc_star"})
+            else:
+                pairs = observed.localCheckpoint(eager=True)
+                runner.history.append({"op": "cc_star", "step": step})
+            m = read_observation(obs)
+            if m is not None:
+                cur = (m["n"], m["h"])
+            else:
                 # AQE empty-relation propagation can prune CollectMetrics
                 # when the plan goes runtime-empty; re-derive from the
                 # committed parquet (one cheap scan)

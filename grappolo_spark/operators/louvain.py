@@ -49,7 +49,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import Observation
 
 from grappolo_spark.graph import Graph
-from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
+from grappolo_spark.plans.iteration import (
+    SuperstepRunner,
+    cut_lineage,
+    read_observation,
+)
 
 
 def modularity(
@@ -465,6 +469,7 @@ def louvain_one_phase(
     init_assign: DataFrame | None = None,
     sample_fraction: float | None = None,
     seed: int = 12345,
+    sample_hash: str = "xxh64",
     early_terminate: bool = False,
     ftr_phase: int | None = None,
     lineage_cut_every: int = 1,
@@ -578,7 +583,13 @@ def louvain_one_phase(
             )
         else:
             assign = vdeg.select("v", F.col("v").alias("comm"))
-        assign = cut_lineage(assign, tag="louvain_assign")
+        # localCheckpoint, not a parquet cut: truncates the init plan to a
+        # LogicalRDD leaf (iteration 0 references it 4-6 times) without the
+        # per-phase parquet round-trip, and without a cache whose later
+        # unpersist would trigger recache-recompilation of dependents (a
+        # measured storm on this Spark build). Scratch state only — durable
+        # runs commit every superstep through the runner below.
+        assign = assign.localCheckpoint(eager=True)
         prev_assign = assign
         prev_mod = -1.0
 
@@ -596,16 +607,14 @@ def louvain_one_phase(
     # which is harmless because the kernel returns the PREVIOUS iteration's
     # assignment anyway (`parallelLouvainMethod.cpp:266-268,302-307`).
     # Variants whose stop inputs live outside cinfo/cur (early-terminate's
-    # edge-scan e_xx, FTR's Q_AFG exit), durable runs (run_dir: the
-    # _METRICS.json sidecar must hold final numbers at write time) and
-    # chained-cut runs (no action per iteration to fire the metrics) keep
-    # the two-action flow.
-    fuse_stats = (
-        run_dir is None
-        and not early_terminate
-        and ftr_phase is None
-        and lineage_cut_every <= 1
-    )
+    # edge-scan e_xx, FTR's Q_AFG exit) and durable runs (run_dir: the
+    # _METRICS.json sidecar must hold final numbers at write time) keep
+    # the two-action flow. Chained cuts (lineage_cut_every > 1) compose
+    # with fusion: non-cut iterations persist the new assignment and fire
+    # the observations with a cache-materializing count — no parquet
+    # round-trip — and every Nth iteration commits through the runner to
+    # keep the plan tree bounded.
+    fuse_stats = run_dir is None and not early_terminate and ftr_phase is None
     for step in range(start, max_iters):
         num_itrs = step + 1
         # --- active set (early termination) --------------------------------
@@ -813,11 +822,21 @@ def louvain_one_phase(
         )
         if sample_fraction is not None and sample_fraction < 1.0:
             # seeded per-iteration sampling: non-sampled vertices keep comm
-            best = best.withColumn(
-                "sampled",
-                F.xxhash64(F.col("v"), F.lit(seed + step)) % 100
-                < int(sample_fraction * 100),
-            ).filter(F.col("sampled"))
+            # (`parallelLouvainMethodApprox.cpp:139-155` — a coin flip per
+            # vertex per iteration). Default stream is xxhash64; the
+            # "mult" stream is a Knuth multiplicative hash expressible in
+            # ANSI SQL, so the sampled kernel itself is value-oracle-able.
+            if sample_hash == "mult":
+                sampled = (
+                    (F.col("v") * F.lit(2654435761) + F.lit(seed + step)) % 100
+                    < int(sample_fraction * 100)
+                )
+            else:
+                sampled = (
+                    F.xxhash64(F.col("v"), F.lit(seed + step)) % 100
+                    < int(sample_fraction * 100)
+                )
+            best = best.withColumn("sampled", sampled).filter(F.col("sampled"))
 
         new_assign = (
             assign.join(best.select("v", "cand", "blocked"), "v", "left")
@@ -832,17 +851,39 @@ def louvain_one_phase(
         )
 
         if fuse_stats:
-            # commit FIRST — the single action of the iteration; it fires
-            # the observed metrics — then read them and decide the stop
-            committed = runner.commit(step, new_assign, {"op": "louvain"})
-            for df_ in retired:
-                df_.unpersist()
-            retired = pending + [cinfo, bestinfo]
-            pending = []
-            try:
-                e_xx = obs_cur.get["e_xx"] or 0.0
-                a2_x = obs_cinfo.get["a2_x"] or 0.0
-            except Exception:
+            # materialize FIRST — the single action of the iteration; it
+            # fires the observed metrics — then read them and decide the
+            # stop. Cut iterations commit through the runner (parquet,
+            # bounded plan tree); chained iterations persist + count (no
+            # parquet round-trip — the dominant per-iteration cost on the
+            # forced-distributed path).
+            do_cut = (
+                lineage_cut_every <= 1 or (step + 1) % lineage_cut_every == 0
+            )
+            if do_cut:
+                committed = runner.commit(step, new_assign, {"op": "louvain"})
+                for df_ in retired:
+                    df_.unpersist()
+                retired = pending + [cinfo, bestinfo]
+                pending = []
+            else:
+                # localCheckpoint: materializes the iteration (firing the
+                # observed metrics) and truncates the plan to a LogicalRDD
+                # leaf — no parquet round-trip, and no cache whose later
+                # unpersist would recompile dependents. The blocks are
+                # executor-local scratch; every Nth iteration still commits
+                # via the runner so converged state is parquet-backed.
+                committed = new_assign.localCheckpoint(eager=True)
+                runner.history.append({"op": "louvain", "step": step})
+                # cinfo/bestinfo stay persisted until the next commit
+                # retires them — the fallback stats recompute reads them
+                pending.extend([cinfo, bestinfo])
+            m_cur = read_observation(obs_cur)
+            m_cinfo = read_observation(obs_cinfo)
+            if m_cur is not None and m_cinfo is not None:
+                e_xx = m_cur["e_xx"] or 0.0
+                a2_x = m_cinfo["a2_x"] or 0.0
+            else:
                 # AQE's empty-relation propagation prunes the
                 # CollectMetrics nodes when the move set goes runtime-
                 # empty (exactly the convergence iteration: a left join
@@ -903,11 +944,12 @@ def louvain_one_phase(
             pending = []
         else:
             runner.history.append(dict(metrics, prev_mod=prev_mod, step=step))
-            # persist, don't cut: the next iteration's plan consumes this
-            # assignment 3-4 times — without a persist each consumer would
-            # re-run the argmax window
-            assign = new_assign.persist()
-            pending.append(assign)
+            # localCheckpoint, not persist: materializes once (the next
+            # iteration's plan consumes this assignment 4-6 times) AND
+            # truncates the plan to a leaf — persist-chaining nests
+            # InMemoryRelations whose plans grow multiplicatively and whose
+            # unpersist recompiles dependents (measured OOM/storms)
+            assign = new_assign.localCheckpoint(eager=True)
         pending.extend([cinfo, bestinfo])
 
     prev_assign = cut_lineage(

@@ -153,6 +153,8 @@ def louvain(
     early_terminate: bool = False,
     fast_track_resistance: bool = False,
     smart_init: bool = False,
+    lineage_cut_every: int = 24,
+    sample_hash: str = "xxh64",
     run_dir: str | None = None,
 ) -> LouvainResult:
     """Full multi-phase Louvain (flagship query — reference entry point
@@ -272,12 +274,16 @@ def louvain(
                 smart_init=smart_init,
                 sample_fraction=sample_fraction,
                 seed=seed,
+                sample_hash=sample_hash,
                 early_terminate=early_terminate,
                 ftr_phase=phase if fast_track_resistance else None,
                 # coarse phases skip the stats action: 2m is conserved by
                 # coarsening and |V| == the previous phase's cluster count
                 two_m_hint=two_m_seen,
                 nv_hint=prev_k,
+                # chain supersteps between parquet cuts on scratch runs
+                # (durable runs force per-superstep commits internally)
+                lineage_cut_every=lineage_cut_every,
                 run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
             )
         if res.two_m:
@@ -289,7 +295,10 @@ def louvain(
         # for small (coarse) phases
         assign, num_clusters = renumber_contiguously(res.assignment, size_hint=nv)
         # keep_last must outlive the whole run: the end-of-run fold reads
-        # every phase's assignment parquet
+        # every phase's assignment parquet. (A persist would be cheaper on
+        # paper, but interdependent caches + later unpersist trigger
+        # recache-recompilation storms on this Spark build — measured 35s
+        # slower at sf0.1; parquet cuts keep every phase independent.)
         assign = cut_lineage(assign, tag="phase_assign", keep_last=256)
         prev_k = num_clusters
 
@@ -323,14 +332,17 @@ def louvain(
         else:
             break
 
-    # compose all phase folds in one plan, cut once
+    # compose all phase folds in one plan; the single "result" cut below
+    # materializes the whole chain (the intermediate cut here would be a
+    # second full write of the O(V) assignment — only the vertex-following
+    # prolongation needs a materialized intermediate, since it re-joins it)
     for pm in phase_maps:
         c_orig = c_orig.join(pm, "comm", "left").select(
             "v", F.coalesce("next_comm", F.lit(-1)).cast("long").alias("comm")
         )
-    c_orig = cut_lineage(c_orig, tag="c_orig")
 
     if vf_map is not None:
+        c_orig = cut_lineage(c_orig, tag="c_orig")
         # prolong through the vertex-following collapse: followed vertex
         # takes its representative's community; isolated stay -1
         rep_comm = c_orig.select(

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import shutil
@@ -29,6 +30,35 @@ from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def read_observation(obs, timeout: float = 60.0) -> dict | None:
+    """Fetch an ``Observation``'s metrics with a bounded wait.
+
+    Returns the metrics dict, or ``None`` when the metrics are unavailable —
+    AQE's empty-relation propagation can prune the CollectMetrics node when
+    the observed plan goes runtime-empty (exactly the convergence iteration
+    of an iterative kernel), leaving ``obs.get`` to raise on a schemaless
+    row; and on Spark builds where a pruned observation BLOCKS instead of
+    raising, the daemon-thread join bounds the wait so the superstep loop
+    can fall back to recomputing the stats from persisted state instead of
+    hanging. Callers treat ``None`` as "recompute exactly" — so a swallowed
+    unrelated failure costs one cheap aggregation, never a wrong result.
+    """
+    out: dict = {}
+
+    def _fetch():
+        try:
+            out["m"] = dict(obs.get)
+        except Exception as e:  # pruned CollectMetrics → schemaless row
+            out["err"] = e
+
+    t = threading.Thread(target=_fetch, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive() or "err" in out or "m" not in out:
+        return None
+    return out["m"]
 
 # Scratch state for cut_lineage: one root dir per session, a rotating set of
 # step files per tag. Paths older than ``keep_last`` steps are deleted.
@@ -43,6 +73,23 @@ def _scratch_root(spark: SparkSession) -> str:
         )
         _SCRATCH[key] = {"root": root, "n": 0, "tags": {}}
     return key
+
+
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its plan to a LogicalRDD leaf via an
+    eager ``localCheckpoint`` — the scratch-state variant of
+    :func:`cut_lineage` for bounded superstep loops.
+
+    No parquet round-trip (the dominant fixed cost of per-iteration cuts on
+    small state), no cache: persist-chaining nests InMemoryRelations whose
+    plans grow multiplicatively and whose unpersist recompiles dependents
+    (measured OOM/storms on this build). ``Observation`` metrics attached to
+    the plan fire during the checkpoint's materializing job. Blocks are
+    executor-local and die with the process — use :func:`cut_lineage` (or a
+    ``SuperstepRunner`` commit) for state that must survive, and interleave
+    a durable cut in very long loops to bound scratch-block accumulation.
+    """
+    return df.localCheckpoint(eager=True)
 
 
 def cut_lineage(df: DataFrame, tag: str = "step", keep_last: int = 6) -> DataFrame:
