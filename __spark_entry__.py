@@ -134,6 +134,20 @@ _FR = "\\b(le|la|et|les|des|est|pas|une|dans|que)\\b"
 _ES = "\\b(el|la|que|los|una|por|con|para|del|es)\\b"
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every ``name AS (`` CTE head to ``name AS MATERIALIZED (``.
+
+    The unrolled superstep oracles reference each sweep's CTEs several
+    times; DuckDB inlines CTEs by default, re-evaluating the whole prefix
+    per reference — measured 201s -> 0.5s on the 3-sweep early-terminate
+    oracle at sf0.01. Results are identical; only evaluation strategy
+    changes. Only safe for non-recursive CTE chains (all builders below).
+    """
+    import re
+
+    return re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
 def _pagerank_sql(iters: int = 10, alpha: float = 0.85) -> str:
     parts = [
         CS_EDGES_CTE.strip().rstrip(),
@@ -157,12 +171,17 @@ def _pagerank_sql(iters: int = 10, alpha: float = 0.85) -> str:
   ) c ON c.v = t.v
 )"""
         )
-    return (
+    return _materialize_ctes(
         "WITH " + ",\n".join(parts) + f"\nSELECT v, round(rank, 6) AS rank FROM pr{iters}"
     )
 
 
-def _louvain_sweeps_sql(iters: int = 2) -> str:
+def _louvain_sweeps_sql(
+    iters: int = 2,
+    sample: tuple | None = None,
+    early_term_from: int | None = None,
+    mover_preds: list | None = None,
+) -> str:
     """Unrolled-SQL oracle for ``iters`` Jacobi sweeps of the Louvain
     kernel from the all-singleton start over the cs graph (no self-loops,
     integer count weights — every intermediate double is bit-identical
@@ -170,7 +189,20 @@ def _louvain_sweeps_sql(iters: int = 2) -> str:
     is a single identically-ordered multiply). Mirrors the kernel exactly:
     gather, community info, reduced-score argmax with (score desc, cand
     asc) tie-break, gain>0 filter on the winner, singleton-swap
-    protection vs the CURRENT community id, Jacobi update."""
+    protection vs the CURRENT community id, Jacobi update.
+
+    ``sample=(seed, pct)`` reproduces the Approx kernel's per-iteration
+    move sampling with the ``"mult"`` hash stream
+    (`parallelLouvainMethodApprox.cpp:139-155`): a winner only moves when
+    ``(v*2654435761 + seed + k) % 100 < pct``. ``early_term_from=k``
+    reproduces the early-terminate kernel's active set from sweep k on:
+    only vertices whose community changed within the last two sweeps
+    gather and move (`parallelLouvianMethodEarlyTerminate.cpp:114,192`).
+    ``mover_preds`` (one SQL predicate on ``e2.src`` per sweep, or None
+    for all vertices) restricts each sweep's movers to one color class —
+    the colored Gauss-Seidel schedule of
+    `Coloring/parallelLouvainWithColoring.cpp:158-218`, where community
+    state refreshes between classes so later classes see earlier moves."""
     parts = [
         CS_EDGES_CTE.strip(),
         "deg AS (SELECT src AS v, sum(weight) AS deg FROM cs_edges GROUP BY 1)",
@@ -178,6 +210,22 @@ def _louvain_sweeps_sql(iters: int = 2) -> str:
         "a0 AS (SELECT v, v AS comm FROM deg)",
     ]
     for k in range(iters):
+        if early_term_from is not None and k >= early_term_from:
+            # active set: NOT stable over the last two sweeps
+            counter_src = f"""(
+    SELECT e2.src, e2.dst, e2.weight FROM cs_edges e2
+    JOIN a{k} s2 ON s2.v = e2.src
+    JOIN a{k - 1} s1 ON s1.v = e2.src
+    JOIN a{k - 2} s0 ON s0.v = e2.src
+    WHERE NOT (s2.comm = s1.comm AND s1.comm = s0.comm)
+  )"""
+        elif mover_preds is not None and mover_preds[k] is not None:
+            counter_src = (
+                f"(SELECT e2.src, e2.dst, e2.weight FROM cs_edges e2 "
+                f"WHERE {mover_preds[k]})"
+            )
+        else:
+            counter_src = "cs_edges"
         parts.append(
             f"""cinfo{k} AS (
   SELECT a.comm, sum(d.deg) AS cdeg, count(*) AS csize
@@ -185,7 +233,7 @@ def _louvain_sweeps_sql(iters: int = 2) -> str:
 ),
 counter{k} AS (
   SELECT e.src AS v, a.comm AS cand, sum(e.weight) AS wsum
-  FROM cs_edges e JOIN a{k} a ON a.v = e.dst
+  FROM {counter_src} e JOIN a{k} a ON a.v = e.dst
   GROUP BY 1, 2
 ),
 wown{k} AS (
@@ -212,14 +260,18 @@ best{k} AS (
     JOIN cinfo{k} cu ON cu.comm = av.comm
     LEFT JOIN wown{k} w ON w.v = c.v
     WHERE c.cand <> av.comm
-  ) WHERE rn = 1 AND gain > 0 AND NOT blocked
+  ) WHERE rn = 1 AND gain > 0 AND NOT blocked{
+      f" AND (v * 2654435761 + {sample[0] + k}) % 100 < {sample[1]}"
+      if sample is not None else ""}
 ),
 a{k + 1} AS (
   SELECT a.v, CAST(COALESCE(b.cand, a.comm) AS BIGINT) AS comm
   FROM a{k} a LEFT JOIN best{k} b ON b.v = a.v
 )"""
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT v, comm FROM a{iters}"
+    return _materialize_ctes(
+        "WITH " + ",\n".join(parts) + f"\nSELECT v, comm FROM a{iters}"
+    )
 
 
 def _lpa_sql(iters: int = 3) -> str:
@@ -244,7 +296,9 @@ def _lpa_sql(iters: int = 3) -> str:
   ) b ON b.v = prev.v
 )"""
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT v, label FROM l{iters}"
+    return _materialize_ctes(
+        "WITH " + ",\n".join(parts) + f"\nSELECT v, label FROM l{iters}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +526,165 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = build_cs_graph(spark, sf)
         return louvain(g, max_phases=3, local_threshold=0).assignment
 
+    def q_louvain_sampled(spark, sf):
+        # VALUE-level oracle for the SAMPLED (Approx) kernel: fixed sweeps
+        # (thresh=-1e9), per-iteration move sampling on the "mult" hash
+        # stream — ANSI-SQL-expressible, unlike xxhash64 — so the driver
+        # checks the sampled move restriction itself, bit-for-bit
+        from grappolo_spark.operators.louvain import louvain_one_phase
+
+        g = build_cs_graph(spark, sf)
+        return louvain_one_phase(
+            g, max_iters=3, thresh=-1e9, sample_fraction=0.5,
+            seed=12345, sample_hash="mult",
+        ).assignment
+
+    def q_louvain_early_term(spark, sf):
+        # VALUE-level oracle for the early-terminate kernel: 3 fixed
+        # sweeps, the third restricted to the active set (community
+        # changed within the last two sweeps) — the unrolled SQL
+        # reproduces the active-set gather exactly
+        from grappolo_spark.operators.louvain import louvain_one_phase
+
+        g = build_cs_graph(spark, sf)
+        return louvain_one_phase(
+            g, max_iters=4, thresh=-1e9, early_terminate=True
+        ).assignment
+
+    def q_louvain_colored_sweep(spark, sf):
+        # VALUE-level oracle for ONE colored Gauss-Seidel iteration: the
+        # cs graph is bipartite, so the natural 2-coloring (customers=0,
+        # suppliers=1) is proper and SQL-expressible; the kernel sweeps
+        # class 0 then class 1 with community state refreshed in between,
+        # which the unrolled SQL mirrors class-by-class
+        from grappolo_spark.operators.coloring import louvain_one_phase_colored
+
+        g = build_cs_graph(spark, sf)
+        colors = g.vertex_ids().select(
+            "v", (F.col("v") >= 1_000_000).cast("int").alias("color")
+        )
+        return louvain_one_phase_colored(
+            g, thresh=-1e9, max_iters=1, colors=colors
+        ).assignment
+
+    def q_louvain_colored_gs(spark, sf):  # rows-only (iterative, non-SQL)
+        # forces the full colored multiphase driver end-to-end (coloring,
+        # per-class sub-supersteps, coarsen) — the heuristic the
+        # north-star names (`Coloring/parallelLouvainWithColoring.cpp`)
+        # — in its SCALE configuration: bounded multihash palette (each
+        # color class is a sequential driver-coordinated sub-sweep, so
+        # the palette cap bounds jobs-per-iteration), colored phase(s)
+        # while the graph is large, plain tail below min_graph_size
+        # (`runMultiPhaseColoring.cpp:110-126`)
+        g = build_cs_graph(spark, sf)
+        return louvain(
+            g, max_phases=3, coloring=True, min_graph_size=100,
+            num_colors_cap=8, coloring_algo="multihash",
+        ).assignment
+
+    def q_ftr_metrics(spark, sf):
+        # VALUE-level oracle for the Fast-Track-Resistance math (r_min,
+        # Q_AFG — the FTR kernel's exit criterion) on a fixed partition
+        from grappolo_spark.operators.louvain import ftr_metrics
+
+        g = build_cs_graph(spark, sf)
+        m = ftr_metrics(g.edges, _nation_assign(spark, sf), g.degrees())
+        return spark.createDataFrame(
+            [(
+                round(m["modularity"], 6),
+                round(m["r_min"], 9),
+                # + 0.0 normalizes IEEE -0.0: Q_AFG(r_min) is ~0 by
+                # construction, so rounding leaves a sign-noise zero
+                round(m["q_afg"], 6) + 0.0,
+                int(m["nv"]),
+                int(m["n_c2"]),
+            )],
+            "modularity double, r_min double, q_afg double, nv long, n_c2 long",
+        )
+
+    def q_sessionize(spark, sf):
+        # VALUE-level oracle for the stateful streaming sessionizer
+        # (applyInPandasWithState, event-time timeout): run the REAL
+        # stream over the events table (availableNow; far-future heartbeat
+        # advances the watermark so timeouts flush every session), then
+        # compare against the gaps-and-islands SQL. Timestamps go out as
+        # microsecond offsets from 2024-01-01 so session-timezone
+        # differences between engines cancel.
+        import tempfile
+
+        from grappolo_spark.streaming.sessions import sessionize
+
+        events = (
+            _read(spark, sf, "events")
+            .filter(F.col("user_id") < 50)
+            .select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+            )
+        )
+        root = tempfile.mkdtemp(prefix="grappolo-sess-")
+        in_dir, out_dir, ck = f"{root}/ev", f"{root}/out", f"{root}/ck"
+        events.write.mode("overwrite").parquet(in_dir)
+
+        def run_once():
+            stream = spark.readStream.schema(events.schema).parquet(in_dir)
+            q = (
+                sessionize(stream, gap_minutes=480, watermark="1 minute")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_once()
+        heartbeat = events.limit(1).select(
+            F.lit(999_999).cast("long").alias("user_id"),
+            (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        heartbeat.write.mode("append").parquet(in_dir)
+        run_once()
+        run_once()  # a batchless pass lets remaining timeouts fire
+        epoch0 = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("user_id") != 999_999)
+            .select(
+                "user_id",
+                (F.unix_micros("session_start") - epoch0).alias("start_us"),
+                (F.unix_micros("session_end") - epoch0).alias("end_us"),
+                "n_events",
+                F.round("value_sum", 6).alias("value_sum"),
+            )
+        )
+
+    def q_multimodal(spark, sf):
+        # VALUE-level oracle for the multimodal decode path: the raw8
+        # image/video histograms are pure integer math over the
+        # deterministic synthesized payloads, so DuckDB recomputes the
+        # EXACT feature values without ever touching binary — checking the
+        # mapInPandas decode end-to-end (audio DSP stays pytest-oracled:
+        # FFT isn't SQL-expressible)
+        from grappolo_spark.functions.multimodal import (
+            extract_features,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, n=60, seed=42)
+        feats = extract_features(media).filter(F.col("kind") != "audio")
+        return feats.select(
+            "media_id",
+            "kind",
+            F.posexplode("feature").alias("bin", "share"),
+        ).select(
+            "media_id",
+            "kind",
+            F.col("bin").cast("long").alias("bin"),
+            F.round(F.col("share").cast("double"), 6).alias("share"),
+        )
+
     def q_coloring_valid(spark, sf):
         # validity oracle (`coloringDistanceOne.cpp:206-226` self-check):
         # the set of monochromatic edges of a distance-1 coloring must be
@@ -628,6 +841,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_communities": q_louvain,
         "louvain_sweeps2": q_louvain_sweeps,
         "louvain_distributed": q_louvain_distributed,
+        "louvain_sampled_sweeps": q_louvain_sampled,
+        "louvain_early_term_sweeps": q_louvain_early_term,
+        "louvain_colored_sweep1": q_louvain_colored_sweep,
+        "louvain_colored_gs": q_louvain_colored_gs,
+        "ftr_metrics": q_ftr_metrics,
+        "sessionize_events": q_sessionize,
+        "multimodal_features": q_multimodal,
         "coloring_valid": q_coloring_valid,
         "equitable_valid": q_equitable_valid,
         "coloring_histogram": q_coloring_histogram,
@@ -706,6 +926,117 @@ SELECT v, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY v
     sql["label_propagation"] = _lpa_sql(3)
     sql["lpa_distributed"] = _lpa_sql(3)
     sql["louvain_sweeps2"] = _louvain_sweeps_sql(2)
+    # variant kernels, each a fixed unrolled sweep schedule (see the Spark
+    # queries for the max_iters -> returned-sweep-count accounting):
+    # sampled moves ("mult" stream, seed 12345, 50%), early-terminate
+    # (third sweep active-set-restricted), colored Gauss-Seidel (bipartite
+    # 2-coloring: customers then suppliers, state refreshed in between)
+    sql["louvain_sampled_sweeps"] = _louvain_sweeps_sql(2, sample=(12345, 50))
+    sql["louvain_early_term_sweeps"] = _louvain_sweeps_sql(3, early_term_from=2)
+    sql["louvain_colored_sweep1"] = _louvain_sweeps_sql(
+        2, mover_preds=["e2.src < 1000000", "e2.src >= 1000000"]
+    )
+
+    # FTR diagnostics: the same accounting as modularity_nation plus the
+    # Granell/Gomez/Arenas resolution terms, mirroring ftr_metrics() and
+    # _ftr_terms() operation-for-operation (louvain.py)
+    sql["ftr_metrics"] = f"""
+WITH {CS_EDGES_CTE.strip()},
+{NATION_ASSIGN_CTE.strip()},
+twom AS (SELECT sum(weight) AS w2 FROM cs_edges),
+exx AS (
+  SELECT COALESCE(sum(e.weight), 0.0) AS e_xx
+  FROM cs_edges e
+  JOIN assign a1 ON a1.v = e.src
+  JOIN assign a2 ON a2.v = e.dst
+  WHERE a1.comm = a2.comm
+),
+deg AS (SELECT src AS v, sum(weight) AS wd FROM cs_edges GROUP BY 1),
+a2x AS (
+  SELECT sum(cd * cd) AS a2_x FROM (
+    SELECT a.comm, sum(d.wd) AS cd
+    FROM deg d JOIN assign a ON a.v = d.v
+    GROUP BY a.comm
+  )
+),
+sizes AS (
+  SELECT sum(CAST(csize AS DOUBLE) * csize) AS n_c2d,
+         CAST(sum(csize) AS DOUBLE) AS nvd,
+         CAST(sum(csize * csize) AS BIGINT) AS n_c2_i,
+         CAST(sum(csize) AS BIGINT) AS nv_i
+  FROM (SELECT comm, count(*) AS csize FROM assign GROUP BY 1)
+),
+terms AS (
+  SELECT e_xx / w2 - a2_x / (w2 * w2) AS q,
+         w2, nvd, n_c2d, nv_i, n_c2_i,
+         nvd - n_c2d / nvd AS nd
+  FROM exx, a2x, twom, sizes
+),
+rm AS (SELECT *, (-w2 / nd) * q AS r_min FROM terms)
+SELECT round(q, 6) AS modularity,
+       round(r_min, 9) AS r_min,
+       round((w2 * q + r_min * nd) / (w2 - nvd * r_min), 6) + 0.0 AS q_afg,
+       nv_i AS nv,
+       n_c2_i AS n_c2
+FROM rm
+"""
+
+    # gap-based sessionization (30-min-style idle gap, here 480 min):
+    # classic gaps-and-islands over the events table; timestamps reported
+    # as microsecond offsets from 2024-01-01 so engine session-timezone
+    # interpretation cancels out of the comparison
+    sql["sessionize_events"] = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events WHERE user_id < 50
+),
+d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 480 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM d
+)
+SELECT user_id,
+       epoch_us(min(ts) - TIMESTAMP '2024-01-01 00:00:00') AS start_us,
+       epoch_us(max(ts) - TIMESTAMP '2024-01-01 00:00:00') AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+    # multimodal decode: recompute the raw8 gradient-image histograms in
+    # pure SQL — pixel (x + y + 42 + media_id) % 256 over a 16x16 raster,
+    # 16 intensity bins (>> 4), share = count/256 (exact in fp32 and fp64,
+    # so round(...,6) matches bit-for-bit). Video rows featurize frame 0,
+    # whose phase equals the image formula.
+    sql["multimodal_features"] = """
+WITH ids AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 3 = 0 THEN 'image' ELSE 'video' END AS kind
+  FROM range(60) t(i) WHERE i % 3 IN (0, 2)
+),
+px AS (
+  SELECT ids.media_id, ids.kind,
+         CAST(((x.r + y.r + 42 + ids.media_id) % 256) // 16 AS BIGINT) AS bin
+  FROM ids, range(16) x(r), range(16) y(r)
+),
+hist AS (
+  SELECT media_id, kind, bin, count(*) / 256.0 AS share
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT ids.media_id, ids.kind, CAST(b.r AS BIGINT) AS bin,
+       round(COALESCE(hist.share, 0.0), 6) AS share
+FROM ids CROSS JOIN range(16) b(r)
+LEFT JOIN hist ON hist.media_id = ids.media_id AND hist.bin = b.r
+"""
 
     # validity oracles: a proper (distance-1) coloring has NO monochromatic
     # edge, before and after equitable rebalancing — the oracle is the

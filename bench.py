@@ -116,6 +116,50 @@ def main() -> int:
         ).assignment.count(),
         n=1,
     )
+    # colored Gauss-Seidel diagnostic (the north-star heuristic,
+    # `parallelLouvainWithColoring.cpp`) in its scale configuration:
+    # bounded multihash palette (palette size caps the sequential
+    # sub-sweeps per iteration), colored phase 1, plain tail below
+    # min_graph_size
+    timed(
+        "louvain_colored",
+        lambda: louvain(
+            cs, max_phases=3, coloring=True, min_graph_size=1000,
+            num_colors_cap=8, coloring_algo="multihash",
+        ).assignment.count(),
+        n=1,
+    )
+
+    # bucketed warehouse sink: one-time bucketBy(src) write, then the
+    # re-read table's src-keyed scans skip the superstep pre-shuffle in
+    # EVERY later run (the durable analogue of partition_by_src)
+    import tempfile
+
+    from grappolo_spark.sources.writers import (
+        read_bucketed_graph,
+        write_bucketed_edges,
+    )
+
+    bt_path = tempfile.mkdtemp(prefix="grappolo-bucketed-") + "/cs_edges"
+    n_buckets = max(int(cpus) if cpus != "*" else 32, 8)
+    spark.sql("DROP TABLE IF EXISTS cs_edges_bucketed")
+    timed(
+        "bucketed_edge_write",
+        lambda: write_bucketed_edges(
+            cs, "cs_edges_bucketed", buckets=n_buckets, path=bt_path
+        ),
+        n=1,
+    )
+
+    def bucketed_read_fn():
+        g = read_bucketed_graph(spark, "cs_edges_bucketed")
+        # degrees = the src-keyed agg every superstep needs; the bucketed
+        # scan satisfies hashpartitioning(src), so this plan has NO
+        # exchange — compare with graph_build, which pays the full
+        # join+groupBy+symmetrize pipeline
+        return g.degrees().count()
+
+    timed("graph_build_bucketed", bucketed_read_fn)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(

@@ -107,6 +107,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    *,
     num_planes: int = 8,
     seed: int = 5,
     num_tables: int = 4,
@@ -114,10 +115,12 @@ def lsh_cosine_topk(
     """Approximate top-k: score only pairs sharing an SRP bucket in at
     least one of ``num_tables`` independent hash tables (OR-amplification).
 
-    ``num_tables`` sits AFTER ``seed`` so round-1 callers passing ``seed``
-    positionally keep their meaning (it was inserted mid-signature in round
-    2 — an API break the round-2 review flagged). The default of 4 tables
-    (vs round 1's single table) is intentional: same seed, higher recall,
+    ``num_planes``/``seed``/``num_tables`` are keyword-only: the trio has
+    been reordered across revisions, and a positional call that silently
+    rebinds (e.g. a 6th positional arg landing on ``seed`` instead of
+    ``num_tables``) changes results without any error — a ``TypeError`` at
+    the call site is the safe failure. The default of 4 tables (vs the
+    original single table) is intentional: same seed, higher recall,
     different candidate sets — callers needing the old behavior pass
     ``num_tables=1``.
 

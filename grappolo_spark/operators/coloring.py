@@ -125,10 +125,14 @@ def multihash_coloring(
     colors = cut_lineage(colors, tag="coloring_mh")
     max_color = 2 * nhash * nrounds
 
+    done = False
     for itr in range(nrounds):
+        if done:
+            break
         for ih in range(nhash):
             unc = colors.filter(F.col("color").isNull()).select("v")
             if unc.count() == 0:
+                done = True  # fully colored: stop ALL rounds, not just this one
                 break
             h = lambda c: F.xxhash64(c, F.lit(seed + ih))  # noqa: E731
             u_src = unc.select(F.col("v").alias("src"))
@@ -216,6 +220,7 @@ def louvain_one_phase_colored(
     max_iters: int = 100,
     num_colors_cap: int = 1024,
     coloring_algo: str = "auto",
+    colors: DataFrame | None = None,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """One Louvain level, sweeping color classes sequentially.
@@ -239,12 +244,20 @@ def louvain_one_phase_colored(
     post-hoc merge and becomes the plan choice.
     """
     spark = g.edges.sparkSession
-    if coloring_algo == "auto":
-        coloring_algo = select_coloring_algo(g, num_colors_cap)
-    if coloring_algo == "multihash":
-        colors = multihash_coloring(g)
-    else:
-        colors = distance_one_coloring(g)
+    # ``colors`` injects a precomputed (v, color) partition — e.g. the
+    # natural 2-coloring of a bipartite graph, or an externally balanced
+    # palette. It must be PROPER except possibly in its last class (an
+    # improper class's sub-sweep degrades to Jacobi semantics, same as the
+    # overflow merge below). With an injected coloring the sweep order is
+    # fully deterministic and SQL-expressible, which is how the driver
+    # value-oracles one colored Gauss-Seidel iteration.
+    if colors is None:
+        if coloring_algo == "auto":
+            coloring_algo = select_coloring_algo(g, num_colors_cap)
+        if coloring_algo == "multihash":
+            colors = multihash_coloring(g)
+        else:
+            colors = distance_one_coloring(g)
     all_colors = [
         r.color
         for r in colors.select("color").distinct().orderBy("color").collect()

@@ -183,6 +183,19 @@ def connected_components(
             pairs = resumed
         pairs = cut_lineage(pairs, tag="cc_pairs")
         prev = _checksum(pairs)  # once, against the cut parquet — cheap
+        # Early-freeze (scratch runs): a LEAF — a source with exactly one
+        # outgoing pair that no pair targets — can be contracted out of the
+        # round input. Pairs always point downward (src > dst after
+        # small-star), so a leaf is never its component's min, and with
+        # degree 1 in the pair graph its removal can't disconnect anyone
+        # else; its label is resolved at the end by one join per freeze
+        # batch (latest first, so chains u→m→m' compose). Star outputs are
+        # mostly leaves after round 1, so the round input collapses —
+        # the shrinkage that makes O(log n) rounds affordable at 100 TB.
+        # Durable runs skip freezing: resume() restores only the committed
+        # pair state, and frozen batches would be lost across a restart.
+        freeze = run_dir is None
+        frozen_batches: list[DataFrame] = []
         for step in range(start, max_iters):
             pairs = _small_star(_large_star(pairs, dedup=False))
             if (step + 1) % max(1, check_every) != 0:
@@ -209,9 +222,25 @@ def connected_components(
                 # when the plan goes runtime-empty; re-derive from the
                 # committed parquet (one cheap scan)
                 cur = _checksum(pairs)
-            if cur == prev:
+            if cur == prev or cur[0] == 0:
                 break
             prev = cur
+            if freeze:
+                # split off this round's leaves — lazy plans over the
+                # MATERIALIZED round output (a checkpoint leaf), so the
+                # split folds into the next round's single action and each
+                # frozen batch re-reads only the leaf at resolution time
+                singles = (
+                    pairs.groupBy("u")
+                    .agg(F.count(F.lit(1)).alias("c"), F.min("v").alias("m"))
+                    .filter(F.col("c") == 1)
+                    .join(
+                        pairs.select(F.col("v").alias("u")), "u", "left_anti"
+                    )
+                    .select("u", F.col("m").alias("v"))
+                )
+                frozen_batches.append(singles)
+                pairs = pairs.join(singles.select("u"), "u", "left_anti")
         # final pairs form star(s): v -> component root (min id)
         labels = pairs.select(F.col("u").alias("v"), F.col("v").alias("component"))
         roots = pairs.select(F.col("v").alias("v")).distinct().select(
@@ -220,6 +249,19 @@ def connected_components(
         labels = labels.union(roots).groupBy("v").agg(
             F.min("component").alias("component")
         )
+        # resolve frozen leaves, latest batch first: a leaf's target either
+        # already has a final label (later batches resolved before earlier
+        # ones) or is itself a root (coalesce to the target id)
+        for batch in reversed(frozen_batches):
+            b = batch.select(F.col("u").alias("bv"), F.col("v").alias("m"))
+            resolved = (
+                b.join(labels, b.m == labels.v, "left")
+                .select(
+                    F.col("bv").alias("v"),
+                    F.coalesce("component", F.col("m")).alias("component"),
+                )
+            )
+            labels = labels.unionByName(resolved)
     elif method == "label_prop":
         labels = g.vertex_ids().select("v", F.col("v").alias("component"))
         labels = cut_lineage(labels, tag="cc_labels")

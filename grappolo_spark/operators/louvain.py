@@ -97,6 +97,45 @@ def modularity(
     return e_xx / two_m - a2_x / (two_m * two_m)
 
 
+def _ftr_terms(curr_mod: float, nv: float, n_c2: float, w_2: float):
+    """Fast-Track-Resistance terms — the ONE implementation of the
+    Granell/Gomez/Arenas resolution-limit exit used by the FTR kernel and
+    :func:`ftr_metrics` (`parallelLouvainMethodFastTrackResistance.cpp:193-239`):
+    ``r_min = (−2m/nd)·Q`` with ``nd = n − Σ|C|²/n``, and
+    ``Q_AFG = (2m·Q + r_min·nd) / (2m − n·r_min)``; optimal when Q_AFG == 0.
+    """
+    nd = nv - n_c2 / nv if nv else 0.0
+    r_min = (-w_2 / nd) * curr_mod if nd else 0.0
+    denom = w_2 - nv * r_min
+    q_afg = (w_2 * curr_mod + r_min * nd) / denom if denom else 0.0
+    return r_min, q_afg
+
+
+def ftr_metrics(
+    edges: DataFrame, assign: DataFrame, degrees: DataFrame
+) -> dict:
+    """FTR diagnostics of a fixed (v, comm) partition: modularity Q plus
+    the resolution terms r_min and Q_AFG. Pure column arithmetic over the
+    same accounting as :func:`modularity` — every term is ANSI-SQL
+    expressible, so the driver value-oracles the FTR math itself (the
+    kernel's Q_AFG exit is the same ``_ftr_terms`` call)."""
+    q = modularity(edges, assign, degrees)
+    w_2 = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    row = (
+        assign.groupBy("comm")
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .agg(
+            F.sum(F.col("csize") * F.col("csize")).alias("n_c2"),
+            F.sum("csize").alias("nv"),
+        )
+        .collect()[0]
+    )
+    nv = float(row["nv"] or 0)
+    n_c2 = float(row["n_c2"] or 0)
+    r_min, q_afg = _ftr_terms(q, nv, n_c2, w_2)
+    return {"modularity": q, "r_min": r_min, "q_afg": q_afg, "nv": nv, "n_c2": n_c2}
+
+
 @dataclass
 class LouvainPhaseResult:
     assignment: DataFrame  # (v, comm)
@@ -772,14 +811,9 @@ def louvain_one_phase(
 
             if ftr_phase is not None and ftr_phase > 1:
                 # Fast-Track-Resistance exit (phase > 1): optimal when Q_AFG == 0
-                nv = float(stats["nv"])
-                w_2 = 1.0 / const
-                nd = nv - (stats["n_c2"] or 0.0) / nv
-                r_min = (-w_2 / nd) * curr_mod if nd else 0.0
-                q_afg = (
-                    (w_2 * curr_mod + r_min * nd) / (w_2 - nv * r_min)
-                    if (w_2 - nv * r_min)
-                    else 0.0
+                _r_min, q_afg = _ftr_terms(
+                    curr_mod, float(stats["nv"]), stats["n_c2"] or 0.0,
+                    1.0 / const,
                 )
                 stop = (q_afg == 0) or (step + 1 > 200)
             else:

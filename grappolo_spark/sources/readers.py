@@ -33,6 +33,23 @@ def _tokens(df: DataFrame) -> DataFrame:
     return df.select(F.split(F.trim("value"), _WS).alias("t"))
 
 
+def _numbered_lines(spark: SparkSession, path: str, keep=None) -> DataFrame:
+    """(idx, line) in file order WITHOUT a single-partition window.
+
+    ``zipWithIndex`` numbers rows per partition and offsets by the partition
+    sizes (one lightweight extra pass) — the scan itself stays distributed,
+    unlike ``row_number() OVER (ORDER BY monotonically_increasing_id())``,
+    which funnels every line through one partition. ``keep`` filters lines
+    BEFORE numbering, so indices are contiguous over the kept lines."""
+    rdd = spark.sparkContext.textFile(path)
+    if keep is not None:
+        rdd = rdd.filter(keep)
+    return spark.createDataFrame(
+        rdd.zipWithIndex().map(lambda kv: (kv[1], kv[0])),
+        "idx long, line string",
+    )
+
+
 def read_edge_list(
     spark: SparkSession,
     path: str,
@@ -83,18 +100,17 @@ def read_snap_ground_truth(
 ) -> DataFrame:
     """Ground-truth community file (one community per line, tab-separated
     member ids) mapped through the saved vertex_map → (v, comm)
-    (`loadSNAP.cpp:215-323`, `convertSNAPGroundTruthInformation.cpp`)."""
-    from pyspark.sql.window import Window
+    (`loadSNAP.cpp:215-323`, `convertSNAPGroundTruthInformation.cpp`).
 
-    lines = spark.read.text(path).filter(
-        (F.length(F.trim("value")) > 0) & ~F.col("value").startswith("#")
-    )
-    numbered = lines.withColumn(
-        "comm", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1
+    Community id = line index over the kept lines (file order), assigned by
+    distributed zipWithIndex — no single-partition window."""
+    numbered = _numbered_lines(
+        spark, path,
+        keep=lambda l: len(l.strip()) > 0 and not l.startswith("#"),
     )
     members = numbered.select(
-        F.col("comm").cast("long"),
-        F.explode(F.split(F.trim("value"), _WS)).alias("ext_id"),
+        F.col("idx").alias("comm"),
+        F.explode(F.split(F.trim("line"), _WS)).alias("ext_id"),
     )
     return members.join(vertex_map, "ext_id").select("v", "comm")
 
@@ -113,14 +129,10 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
       weights", `loadMetis.cpp:165-223`)
     - all NV header vertices exist in the graph, edges or not
 
-    Line numbers must be assigned in file order — done with a single-file
+    Line numbers must be assigned in file order — done with a distributed
     zipWithIndex (METIS files are line-ordered; for huge graphs prefer
     parquet/edge-list inputs)."""
-    sc = spark.sparkContext
-    rdd = sc.textFile(path).zipWithIndex()
-    rows = rdd.filter(lambda kv: not kv[0].startswith("%"))
-    indexed = rows.zipWithIndex().map(lambda kv: (kv[1], kv[0][0]))
-    df = spark.createDataFrame(indexed, "idx long, line string")
+    df = _numbered_lines(spark, path, keep=lambda l: not l.startswith("%"))
     header = df.filter("idx = 0").collect()[0]["line"].split()
     nv = int(header[0])
     fmt = header[2] if len(header) > 2 else "0"
@@ -170,19 +182,15 @@ def read_matrix_market(spark: SparkSession, path: str) -> Graph:
     column vertices offset by M (reference sVertices semantics)."""
     first = spark.read.text(path).limit(1).collect()[0]["value"]
     symmetric = "symmetric" in first.lower()
-    data = _tokens(
-        spark.read.text(path).filter(
-            (F.length(F.trim("value")) > 0) & ~F.col("value").startswith("%")
-        )
+    numbered = _numbered_lines(
+        spark, path,
+        keep=lambda l: len(l.strip()) > 0 and not l.startswith("%"),
     )
-    from pyspark.sql.window import Window
-
-    numbered = data.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
-    )
-    header = numbered.filter("rn = 1").collect()[0]["t"]
+    header = numbered.filter("idx = 0").collect()[0]["line"].split()
     m = int(header[0])
-    body = numbered.filter("rn > 1")
+    body = _tokens(
+        numbered.filter("idx > 0").select(F.col("line").alias("value"))
+    )
     if symmetric:
         pairs = body.select(
             (F.col("t")[0].cast("long") - 1).alias("src"),
@@ -201,21 +209,16 @@ def read_matrix_market(spark: SparkSession, path: str) -> Graph:
 def read_pajek(spark: SparkSession, path: str) -> Graph:
     """Pajek ``*Vertices`` / ``*Edges`` (or ``*Arcs``) sections
     (`loadPajekFormat.cpp`); 1-based ids."""
-    lines = spark.read.text(path)
-    from pyspark.sql.window import Window
-
-    numbered = lines.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
-    )
+    numbered = _numbered_lines(spark, path)  # markers are positional: keep all
     marker = (
-        numbered.filter(F.lower(F.trim("value")).rlike(r"^\*(edges|arcs)"))
-        .agg(F.min("rn"))
+        numbered.filter(F.lower(F.trim("line")).rlike(r"^\*(edges|arcs)"))
+        .agg(F.min("idx"))
         .collect()[0][0]
     )
     body = _tokens(
         numbered.filter(
-            (F.col("rn") > marker) & (F.length(F.trim("value")) > 0)
-        ).select("value")
+            (F.col("idx") > marker) & (F.length(F.trim("line")) > 0)
+        ).select(F.col("line").alias("value"))
     )
     pairs = body.select(
         (F.col("t")[0].cast("long") - 1).alias("src"),

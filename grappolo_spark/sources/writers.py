@@ -17,15 +17,42 @@ from pyspark.sql import functions as F
 
 from grappolo_spark.graph import Graph
 
+# Driver-side text sinks materialize O(V) or O(E) python rows; above this
+# they must raise instead of silently OOMing the driver (same contract as
+# similarity_fast._guard_collect_side). 10M short text lines ~ a few hundred
+# MB of python objects — the upper edge of sane for an interop dump.
+MAX_DRIVER_ROWS = 10_000_000
+
+
+def _guard_driver_rows(n: int, what: str, alternatives: str, limit: int) -> None:
+    """Raise before a driver-side text sink collects an oversized graph.
+
+    ``n`` is usually a count the writer needed anyway (header fields), so
+    the guard adds no extra action; it turns a silent driver OOM on a
+    100M-edge "quick text dump" into an actionable error."""
+    if n > limit:
+        raise ValueError(
+            f"{what} has {n} rows, above the driver-side text-sink bound "
+            f"({limit}). This format needs a global header/strict line "
+            f"order and is written on the driver. Use {alternatives} for "
+            f"graphs this large, or raise max_driver_rows explicitly."
+        )
+
 
 def write_parquet_graph(g: Graph, path: str, compression: str = "zstd") -> None:
     """Binary sink (reference `writeBinary.cpp`, blosc-HDF5 `loadHDF5.cc`)."""
     g.edges.write.mode("overwrite").option("compression", compression).parquet(path)
 
 
-def write_cluster_assignment(assign: DataFrame, path: str) -> None:
+def write_cluster_assignment(
+    assign: DataFrame, path: str, max_driver_rows: int = MAX_DRIVER_ROWS
+) -> None:
     """One community id per line, vertex-id order — the ``<file>_clustInfo``
     sink of `driverForGraphClustering.cpp:194-203`."""
+    _guard_driver_rows(
+        assign.count(), "assignment", "write_cluster_assignment_distributed",
+        max_driver_rows,
+    )
     rows = assign.orderBy("v").select(F.col("comm").cast("string")).collect()
     with open(path, "w") as f:
         for r in rows:
@@ -36,13 +63,20 @@ def _undirected_once(g: Graph) -> DataFrame:
     return g.edges.filter(F.col("src") <= F.col("dst")).select("src", "dst", "weight")
 
 
-def write_metis(g: Graph, path: str) -> None:
+def write_metis(
+    g: Graph, path: str, max_driver_rows: int = MAX_DRIVER_ROWS
+) -> None:
     """METIS adjacency sink (`writeSimple.cpp:2-34`): header ``NV NE 0``,
     line i = 1-based neighbors of vertex i-1."""
     nv = g.num_vertices()
     # header counts what the body lists: non-self undirected edges (the
     # adjacency lines exclude self-loops, so num_edges() would over-count)
     ne = g.edges.filter(F.col("src") != F.col("dst")).count() // 2
+    # the collect materializes every adjacency cell: O(V + E) driver memory
+    _guard_driver_rows(
+        nv + 2 * ne, "graph (vertices + adjacency cells)",
+        "write_edge_list / write_parquet_graph", max_driver_rows,
+    )
     adj = (
         g.edges.filter(F.col("src") != F.col("dst"))
         .groupBy("src")
@@ -56,10 +90,19 @@ def write_metis(g: Graph, path: str) -> None:
             f.write(lines.get(v, "") + "\n")
 
 
-def write_pajek(g: Graph, path: str, assign: DataFrame | None = None) -> None:
+def write_pajek(
+    g: Graph,
+    path: str,
+    assign: DataFrame | None = None,
+    max_driver_rows: int = MAX_DRIVER_ROWS,
+) -> None:
     """Pajek sink, optionally with a community column
     (`writeSimple.cpp:36-118`)."""
     nv = g.num_vertices()
+    _guard_driver_rows(
+        nv + _undirected_once(g).count(), "graph (vertices + edges)",
+        "write_edge_list / write_parquet_graph", max_driver_rows,
+    )
     comm = None
     if assign is not None:
         comm = {r.v: r.comm for r in assign.collect()}
@@ -77,11 +120,18 @@ def write_pajek(g: Graph, path: str, assign: DataFrame | None = None) -> None:
 
 
 def write_matrix_market(
-    g: Graph, path: str, old2new: DataFrame | None = None
+    g: Graph,
+    path: str,
+    old2new: DataFrame | None = None,
+    max_driver_rows: int = MAX_DRIVER_ROWS,
 ) -> None:
     """MTX symmetric sink, optionally permuted by an (v, new_id) map —
     `writeMatrixMarket.cpp:2-130`. Writes the lower triangle once."""
     e = _undirected_once(g)
+    _guard_driver_rows(
+        e.count(), "edge list", "write_edge_list / write_parquet_graph",
+        max_driver_rows,
+    )
     if old2new is not None:
         m_src = old2new.select(F.col("v").alias("src"), F.col("new_id").alias("nsrc"))
         m_dst = old2new.select(F.col("v").alias("dst"), F.col("new_id").alias("ndst"))
@@ -103,16 +153,21 @@ def write_matrix_market(
             f.write(f"{r.r + 1} {r.c + 1} {r.weight:g}\n")
 
 
-def write_matrix_market_bipartite(g: Graph, path: str, num_s: int) -> None:
+def write_matrix_market_bipartite(
+    g: Graph, path: str, num_s: int, max_driver_rows: int = MAX_DRIVER_ROWS
+) -> None:
     """Bipartite MTX sink (`writeMatrixMarket.cpp:90-130`): a general
     coordinate matrix with the S side (vertices < num_s) as rows and the
     T side as columns, offsets undone — the inverse of
     ``read_matrix_market`` on a general matrix. Driver-side interop path."""
-    e = (
-        g.edges.filter((F.col("src") < num_s) & (F.col("dst") >= num_s))
-        .select("src", "dst", "weight")
-        .collect()
+    e_df = g.edges.filter(
+        (F.col("src") < num_s) & (F.col("dst") >= num_s)
+    ).select("src", "dst", "weight")
+    _guard_driver_rows(
+        e_df.count(), "edge list", "write_edge_list / write_parquet_graph",
+        max_driver_rows,
     )
+    e = e_df.collect()
     nt = g.num_vertices() - num_s
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
@@ -154,6 +209,39 @@ def write_edge_list(g: Graph, path: str, one_based: bool = True) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def write_bucketed_edges(
+    g: Graph,
+    table: str,
+    buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Warehouse sink: persist the canonical edge table bucketed (and
+    sorted) by ``src``.
+
+    The durable analogue of ``Graph.partition_by_src()`` — a scan of the
+    bucketed table already satisfies ``hashpartitioning(src)``, so every
+    src-keyed groupBy/join in a superstep loop skips its pre-shuffle on
+    EVERY later run, not just within one session. This is the Spark-native
+    replacement for the reference's sorted-CSR binary dump
+    (`loadBinary.cpp`, CSR counting-sort `loadEdgeList.cpp:225-249`): the
+    sort order lives in the table layout, not in a custom format. Pick
+    ``buckets`` ~ the cluster's target shuffle parallelism for the graph.
+    """
+    w = g.edges.write.mode("overwrite").bucketBy(buckets, "src")
+    if sort:
+        w = w.sortBy("src")
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed_graph(spark, table: str) -> Graph:
+    """Load a :func:`write_bucketed_edges` table; the returned graph's
+    edge scans carry the bucket layout (no repartition needed)."""
+    return Graph(edges=spark.table(table))
 
 
 def build_old2new_map(assign: DataFrame) -> DataFrame:

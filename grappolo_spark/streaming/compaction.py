@@ -21,9 +21,10 @@ log. Rewriting the log is version-fragile; instead the engine pairs:
   log, and the ``batch`` partition column doubles as per-batch lineage.
 - :func:`compact_parquet_dir` — rewrites that layout into few files and
   swaps directories atomically (rename), keeping the previous generation
-  as ``<dir>.bak``. Compacted rows land under the HIGHEST batch id seen,
-  and a restarted stream's batch ids are monotonic per checkpoint, so new
-  appends never collide with the compacted generation.
+  as ``<dir>.bak``. Compacted rows land under the reserved marker
+  ``batch=-1``: real batch ids are always >= 0, so even a CRASH-replayed
+  batch (written but not yet committed to the checkpoint) overwrites only
+  its own ``batch=<id>`` directory, never the compacted generation.
 
 Run compaction between triggers (availableNow pipelines: after the query
 terminates); the streaming checkpoint is untouched because only OUTPUT
@@ -110,9 +111,16 @@ def compact_parquet_dir(
     n_files = max(1, -(-rows // target_rows_per_file))  # ceil
     tmp = f"{out_dir}.compact-{uuid.uuid4().hex[:8]}"
     if batch_ids:
-        # keep the layout: everything folds under the highest batch id
-        # seen; future (monotonic) batch ids never collide with it
-        dest = os.path.join(tmp, f"batch={max(batch_ids)}")
+        # keep the layout, but fold everything under the reserved
+        # generation marker batch=-1, which can NEVER be a replayed batch
+        # id: streaming batch ids are >= 0, so a stream that crashed after
+        # writing its last micro-batch but before the checkpoint commit
+        # replays that id into its own batch=<id> directory — it must not
+        # overwrite the compacted generation holding ALL prior batches'
+        # rows (folding under max(batch_ids) had exactly that hazard).
+        # Repeated compactions re-fold batch=-1 plus newer batches into a
+        # fresh batch=-1, so the marker is stable across generations.
+        dest = os.path.join(tmp, "batch=-1")
         data = df.drop("batch")
     else:
         dest = tmp
