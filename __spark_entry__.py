@@ -579,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = build_cs_graph(spark, sf)
         return louvain(
             g, max_phases=3, coloring=True, min_graph_size=100,
-            num_colors_cap=8, coloring_algo="multihash",
+            num_colors_cap=4, coloring_algo="multihash",
         ).assignment
 
     def q_ftr_metrics(spark, sf):

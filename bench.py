@@ -124,7 +124,7 @@ def main() -> int:
     timed(
         "louvain_colored",
         lambda: louvain(
-            cs, max_phases=3, coloring=True, min_graph_size=1000,
+            cs, max_phases=3, coloring=True, min_graph_size=2000,
             num_colors_cap=8, coloring_algo="multihash",
         ).assignment.count(),
         n=1,

@@ -554,8 +554,14 @@ def louvain_one_phase(
     spark = g.edges.sparkSession
     # hash-partition the edge table on the gather key ONCE: every superstep's
     # edges-join-assignment then reuses the layout (no per-iteration edge
-    # shuffle; measured 1.8x on sf0.1)
-    edges = g.edges.repartition("dst").persist()
+    # shuffle; measured 1.8x on sf0.1). Tiny coarse phases pin a narrow
+    # partition count — the default spark.sql.shuffle.partitions would
+    # fan a ~1k-vertex graph back out to dozens of near-empty tasks per
+    # stage, and task scheduling (not data) is the phase cost there.
+    if nv_hint is not None and nv_hint <= 100_000:
+        edges = g.edges.repartition(4, "dst").persist()
+    else:
+        edges = g.edges.repartition("dst").persist()
     vdeg_full = g.degrees().persist()
     vdeg = vdeg_full.select("v", "deg")
     # one action yields 2m AND the max degree (hub detection for salting)
@@ -622,13 +628,18 @@ def louvain_one_phase(
             )
         else:
             assign = vdeg.select("v", F.col("v").alias("comm"))
-        # localCheckpoint, not a parquet cut: truncates the init plan to a
-        # LogicalRDD leaf (iteration 0 references it 4-6 times) without the
-        # per-phase parquet round-trip, and without a cache whose later
-        # unpersist would trigger recache-recompilation of dependents (a
-        # measured storm on this Spark build). Scratch state only — durable
-        # runs commit every superstep through the runner below.
-        assign = assign.localCheckpoint(eager=True)
+        # parquet cut, NOT localCheckpoint: a localCheckpoint materializes
+        # through the non-adaptive df.rdd compile path, and at sf0.1 the
+        # kernel's iterations measured ~3x slower under it (198.6s vs
+        # 72.2s whole-run A/B on an idle box) — the parquet round-trip's
+        # fixed cost is the cheaper lineage truncation for multi-consumer
+        # state on this build. Tiny coarse phases (nv_hint below the
+        # broadcast bound) skip the cut ACTION entirely: only iteration 1
+        # consumes the init plan (4-6 subplan copies over an
+        # already-parquet-backed coarse graph inside ONE job), which costs
+        # less than a dedicated write+read job at that size.
+        if not (nv_hint is not None and nv_hint <= broadcast_max_vertices):
+            assign = cut_lineage(assign, tag="louvain_assign")
         prev_assign = assign
         prev_mod = -1.0
 
@@ -986,9 +997,12 @@ def louvain_one_phase(
             assign = new_assign.localCheckpoint(eager=True)
         pending.extend([cinfo, bestinfo])
 
-    prev_assign = cut_lineage(
-        prev_assign.select("v", "comm"), tag="result", keep_last=64
-    )
+    # NO final result cut: prev_assign is already a truncated leaf — the
+    # init cut, an iteration's runner.commit parquet, or a chained
+    # localCheckpoint — so re-writing it was a pure extra job per phase
+    # (measured ~1s x phases on the forced-distributed multiphase). The
+    # only uncut case is a tiny coarse phase's skipped init cut, whose
+    # plan is a cheap projection over the coarse-edge parquet.
     for df_ in retired + pending:
         df_.unpersist()
     edges.unpersist()

@@ -28,6 +28,7 @@ the Spark analogue of the reference keeping later phases cheap in cache.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -153,7 +154,7 @@ def louvain(
     early_terminate: bool = False,
     fast_track_resistance: bool = False,
     smart_init: bool = False,
-    lineage_cut_every: int = 24,
+    lineage_cut_every: int = 1,
     sample_hash: str = "xxh64",
     run_dir: str | None = None,
 ) -> LouvainResult:
@@ -219,6 +220,7 @@ def louvain(
     two_m_seen = None  # 2m from phase 1's kernel — conserved by coarsening
 
     while True:
+        phase_t0 = time.time()
         nv = prev_k if prev_k is not None else cur_g.num_vertices()
         use_coloring = coloring and nv > min_graph_size
         use_local = (
@@ -281,8 +283,11 @@ def louvain(
                 # coarsening and |V| == the previous phase's cluster count
                 two_m_hint=two_m_seen,
                 nv_hint=prev_k,
-                # chain supersteps between parquet cuts on scratch runs
-                # (durable runs force per-superstep commits internally)
+                # default 1: parquet-cut EVERY iteration. Chaining via
+                # localCheckpoint (>1) measured ~3x SLOWER at sf0.1 — the
+                # checkpoint materializes through the non-adaptive df.rdd
+                # path; the assignment is consumed 4-6x per iteration so
+                # some truncation is mandatory, and the parquet cut wins
                 lineage_cut_every=lineage_cut_every,
                 run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
             )
@@ -317,6 +322,7 @@ def louvain(
                 "iterations": res.iterations,
                 "vertices": nv,
                 "colored": use_coloring,
+                "seconds": round(time.time() - phase_t0, 3),
             }
         )
 
@@ -324,8 +330,16 @@ def louvain(
             break
         if (curr_mod - prev_mod) > threshold:
             cur_g = coarsen(cur_g, assign)
+            coarse_edges = cur_g.edges
+            if num_clusters <= 100_000:
+                # small coarse graphs: collapse to a few partitions before
+                # the cut. Leaving the parent's partition count (e.g. 32)
+                # makes every downstream stage schedule 32 near-empty
+                # tasks; at ~1k coarse vertices the task-scheduling
+                # overhead, not the data, is the phase cost.
+                coarse_edges = coarse_edges.coalesce(4)
             cur_g = Graph(
-                edges=cut_lineage(cur_g.edges, tag="coarse_edges", keep_last=2),
+                edges=cut_lineage(coarse_edges, tag="coarse_edges", keep_last=2),
                 directed=cur_g.directed,
             )
             phase += 1
