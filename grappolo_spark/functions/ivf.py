@@ -75,25 +75,27 @@ def train_centroids(
                         }
                     )
 
-        sums = (
+        # Lloyd update as a NARROW plan: posexplode the per-partition
+        # partial sums and aggregate per (cell, dim) — one hash-agg over
+        # k*dim rows — instead of building dim-many F.sum(vsum[i]) columns
+        # (the wide-plan shape gets pathological past ~1k dims: one
+        # projection column + one aggregate buffer per dimension)
+        dim_sums = (
             df.select(F.col(vec_col).alias("_v"))
             .mapInPandas(assign, schema="cell int, n long, vsum array<double>")
-            .groupBy("cell")
-            .agg(
-                F.sum("n").alias("n"),
-                F.array(
-                    *[
-                        F.sum(F.col("vsum")[i]).alias(f"s{i}")
-                        for i in range(cents.shape[1])
-                    ]
-                ).alias("vsum"),
-            )
+            .select("cell", "n", F.posexplode("vsum").alias("dim", "s"))
+            # every exploded row carries its partial's n, so sum(n) per
+            # (cell, dim) is the cell's total count (identical across dims)
+            .groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new = cents.copy()
-        for r in sums:
+        for c in {r["cell"] for r in dim_sums if r["n"]}:
+            new[c] = 0.0
+        for r in dim_sums:
             if r["n"]:
-                new[r["cell"]] = np.array(r["vsum"]) / r["n"]
+                new[r["cell"], r["dim"]] = r["s"] / r["n"]
         cents = _normalize(new)
     return cents
 

@@ -139,6 +139,7 @@ def connected_components(
     max_iters: int = 50,
     check_every: int = 1,
     local_threshold: int = 2_000_000,
+    freeze: bool = True,
     run_dir: str | None = None,
 ) -> DataFrame:
     """Return assignments ``(v, component)``; isolated vertices get their own id.
@@ -194,7 +195,7 @@ def connected_components(
         # the shrinkage that makes O(log n) rounds affordable at 100 TB.
         # Durable runs skip freezing: resume() restores only the committed
         # pair state, and frozen batches would be lost across a restart.
-        freeze = run_dir is None
+        freeze = freeze and run_dir is None
         frozen_batches: list[DataFrame] = []
         for step in range(start, max_iters):
             pairs = _small_star(_large_star(pairs, dedup=False))
