@@ -13,6 +13,8 @@ match against any oracle).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -77,6 +79,20 @@ def _small_star(pairs: DataFrame) -> DataFrame:
     )
     self_edges = m.select(F.col("u"), F.col("m").alias("v"))
     return nbr_edges.union(self_edges).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _leaf_singles(pairs: DataFrame) -> DataFrame:
+    """The freezable leaves of a star-round output: sources with exactly
+    one outgoing pair that no pair targets — see the freeze note in
+    :func:`connected_components`. Deterministic in ``pairs``, so durable
+    resume can rederive each batch from its step's committed state."""
+    return (
+        pairs.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("v").alias("m"))
+        .filter(F.col("c") == 1)
+        .join(pairs.select(F.col("v").alias("u")), "u", "left_anti")
+        .select("u", F.col("m").alias("v"))
+    )
 
 
 def _local_union_find(pairs: DataFrame) -> DataFrame:
@@ -155,6 +171,12 @@ def connected_components(
     from a driver-local union-find (identical min-id labels, one collect)
     — the star supersteps on a small graph are pure fixed job overhead.
     0 disables; ``run_dir`` (durable superstep state) forces distributed.
+
+    ``freeze`` contracts converged leaves out of each round's input (the
+    geometric work reduction — see the in-code note); works on scratch
+    AND durable runs: the committed per-step state stays pre-split, and a
+    resume rederives every frozen batch deterministically from the step
+    parquets the runner already keeps.
     """
     pairs = (
         g.edges.filter(F.col("src") != F.col("dst"))
@@ -180,23 +202,38 @@ def connected_components(
 
     if method == "star":
         start, resumed = runner.resume()
+        # Early-freeze: a LEAF — a source with exactly one outgoing pair
+        # that no pair targets — can be contracted out of the round input.
+        # Pairs always point downward (src > dst after small-star), so a
+        # leaf is never its component's min, and with degree 1 in the pair
+        # graph its removal can't disconnect anyone else; its label is
+        # resolved at the end by one join per freeze batch (latest first,
+        # so chains u→m→m' compose). Star outputs are mostly leaves after
+        # round 1, so the round input collapses — the shrinkage that makes
+        # O(log n) rounds affordable at 100 TB.
+        frozen_batches: list[DataFrame] = []
         if resumed is not None:
             pairs = resumed
+            if freeze:
+                # Durable resume: each frozen batch is a DETERMINISTIC
+                # function of its step's committed state (the split runs
+                # AFTER the commit), so instead of persisting batches
+                # separately — with their own crash windows — rederive
+                # them lazily from the per-step state parquets the runner
+                # already keeps, and re-split the resumed state itself.
+                spark = g.edges.sparkSession
+                for s in range(start):
+                    st_path = os.path.join(run_dir, f"step={s:06d}", "state")
+                    if os.path.isdir(st_path):
+                        frozen_batches.append(
+                            _leaf_singles(spark.read.parquet(st_path))
+                        )
+                if frozen_batches:
+                    pairs = pairs.join(
+                        frozen_batches[-1].select("u"), "u", "left_anti"
+                    )
         pairs = cut_lineage(pairs, tag="cc_pairs")
         prev = _checksum(pairs)  # once, against the cut parquet — cheap
-        # Early-freeze (scratch runs): a LEAF — a source with exactly one
-        # outgoing pair that no pair targets — can be contracted out of the
-        # round input. Pairs always point downward (src > dst after
-        # small-star), so a leaf is never its component's min, and with
-        # degree 1 in the pair graph its removal can't disconnect anyone
-        # else; its label is resolved at the end by one join per freeze
-        # batch (latest first, so chains u→m→m' compose). Star outputs are
-        # mostly leaves after round 1, so the round input collapses —
-        # the shrinkage that makes O(log n) rounds affordable at 100 TB.
-        # Durable runs skip freezing: resume() restores only the committed
-        # pair state, and frozen batches would be lost across a restart.
-        freeze = freeze and run_dir is None
-        frozen_batches: list[DataFrame] = []
         for step in range(start, max_iters):
             pairs = _small_star(_large_star(pairs, dedup=False))
             if (step + 1) % max(1, check_every) != 0:
@@ -228,18 +265,13 @@ def connected_components(
             prev = cur
             if freeze:
                 # split off this round's leaves — lazy plans over the
-                # MATERIALIZED round output (a checkpoint leaf), so the
-                # split folds into the next round's single action and each
-                # frozen batch re-reads only the leaf at resolution time
-                singles = (
-                    pairs.groupBy("u")
-                    .agg(F.count(F.lit(1)).alias("c"), F.min("v").alias("m"))
-                    .filter(F.col("c") == 1)
-                    .join(
-                        pairs.select(F.col("v").alias("u")), "u", "left_anti"
-                    )
-                    .select("u", F.col("m").alias("v"))
-                )
+                # MATERIALIZED round output (checkpoint or committed
+                # parquet leaf), so the split folds into the next round's
+                # single action and each frozen batch re-reads only the
+                # leaf at resolution time. The split runs AFTER the
+                # commit, so durable state stays pre-split and resume can
+                # rederive every batch (see the resume branch above).
+                singles = _leaf_singles(pairs)
                 frozen_batches.append(singles)
                 pairs = pairs.join(singles.select("u"), "u", "left_anti")
         # final pairs form star(s): v -> component root (min id)

@@ -13,6 +13,7 @@
 
 import contextlib
 import io
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -97,6 +98,45 @@ def test_text_sinks_guard_oversized_collect(spark, tmp_path):
     with open(out) as f:
         lines = f.read().splitlines()
     assert len(lines) == 34 and lines[0] == "0" and lines[4] == "1"
+
+
+def test_cc_star_freeze_durable_resume(spark, tmp_path):
+    """Leaf-freezing on a durable run: interrupting after 2 star rounds and
+    resuming the same run_dir must give the exact min-id labels of an
+    uninterrupted run (frozen batches are rederived from the per-step
+    state parquets, never persisted separately), which in turn must match
+    the freeze=False labels and the union-find oracle."""
+    from conftest import union_find
+    from grappolo_spark.graph import Graph
+    from grappolo_spark.operators.components import connected_components
+
+    # two chains + a star + isolated-ish pairs: several freeze batches
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12),
+             (20, 21), (20, 22), (20, 23), (30, 31)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    g = Graph.from_edgelist(df)
+    oracle = union_find(edges)
+
+    plain = {
+        r.v: r.component
+        for r in connected_components(g, local_threshold=0, freeze=False).collect()
+    }
+    assert plain == oracle
+
+    run_dir = str(tmp_path / "cc_run")
+    connected_components(
+        g, local_threshold=0, freeze=True, max_iters=2, run_dir=run_dir
+    )  # "crashes" after 2 committed rounds
+    assert os.path.isdir(os.path.join(run_dir, "step=000001"))
+    resumed = {
+        r.v: r.component
+        for r in connected_components(
+            g, local_threshold=0, freeze=True, run_dir=run_dir
+        ).collect()
+    }
+    assert resumed == oracle
 
 
 def test_bucketed_edge_table_skips_shuffle(spark, tmp_path):
