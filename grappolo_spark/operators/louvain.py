@@ -847,9 +847,16 @@ def louvain_one_phase(
         # is a strictly monotone transform of the score used to pick it.
         # Singleton-swap protection compares the target to the CURRENT
         # COMMUNITY id (maxIndex > sc, `:254-256`), not the vertex id.
-        best = (
+        # The decision is INLINE over bestinfo (one when(), no assign⋈best
+        # self-join): every gathered vertex flows straight through to the
+        # committed output, so the observed subtree can never be pruned.
+        # With the old left join, a runtime-empty move set — EVERY
+        # iteration of an instantly-converged coarse phase — made AQE's
+        # empty-relation propagation rewrite new_assign to its left side,
+        # silently dropping both CollectMetrics observations and costing a
+        # fallback stats job per iteration.
+        moved = (
             bestinfo.withColumn("cand", F.col("b.cand"))
-            .filter(F.col("cand").isNotNull() & (F.col("cand") != F.col("comm")))
             .withColumn("eix", F.col("w_own") - F.col("selfloop"))
             .withColumn("ax", F.col("cdeg_cur") - F.col("deg"))
             .withColumn(
@@ -857,13 +864,20 @@ def louvain_one_phase(
                 2.0 * (F.col("b.wsum") - F.col("eix"))
                 - 2.0 * F.col("deg") * (F.col("b.ay") - F.col("ax")) * F.lit(const),
             )
-            .filter(F.col("gain") > 0)
             .withColumn(
                 "blocked",
                 (F.col("b.csize_cand") == 1)
                 & (F.col("csize_cur") == 1)
                 & (F.col("cand") > F.col("comm")),
             )
+        )
+        # NULL-safe by construction: a masked argmax (cand == comm) or a
+        # null gain falls to the otherwise() branch, i.e. "stay"
+        move_ok = (
+            F.col("cand").isNotNull()
+            & (F.col("cand") != F.col("comm"))
+            & (F.col("gain") > 0)
+            & ~F.col("blocked")
         )
         if sample_fraction is not None and sample_fraction < 1.0:
             # seeded per-iteration sampling: non-sampled vertices keep comm
@@ -881,18 +895,18 @@ def louvain_one_phase(
                     F.xxhash64(F.col("v"), F.lit(seed + step)) % 100
                     < int(sample_fraction * 100)
                 )
-            best = best.withColumn("sampled", sampled).filter(F.col("sampled"))
+            move_ok = move_ok & sampled
 
-        new_assign = (
-            assign.join(best.select("v", "cand", "blocked"), "v", "left")
-            .select(
-                "v",
-                F.when(
-                    F.col("cand").isNotNull() & ~F.col("blocked"), F.col("cand")
-                )
-                .otherwise(F.col("comm"))
-                .alias("comm"),
-            )
+        decided = moved.select(
+            "v",
+            F.when(move_ok, F.col("cand")).otherwise(F.col("comm")).alias("comm"),
+        )
+        # vertices with no gather rows — isolated, or outside the active
+        # set under early termination — keep their community. When this
+        # branch is runtime-empty, AQE prunes only the union arm; the
+        # decided side (and its observations) always executes.
+        new_assign = decided.unionByName(
+            assign.join(bestinfo.select("v"), "v", "left_anti")
         )
 
         if fuse_stats:
@@ -929,13 +943,14 @@ def louvain_one_phase(
                 e_xx = m_cur["e_xx"] or 0.0
                 a2_x = m_cinfo["a2_x"] or 0.0
             else:
-                # AQE's empty-relation propagation prunes the
-                # CollectMetrics nodes when the move set goes runtime-
-                # empty (exactly the convergence iteration: a left join
-                # whose build side turned out empty is rewritten away,
-                # and the observation row comes back schemaless).
-                # Recompute directly — bestinfo/cinfo are persisted, so
-                # this is one cheap agg, paid once per phase at most.
+                # Belt-and-braces: since new_assign is derived FROM
+                # bestinfo, AQE's empty-relation propagation can no longer
+                # prune the CollectMetrics nodes (the old assign⋈best left
+                # join lost both observations whenever the move set went
+                # runtime-empty). Kept for edge-degenerate plans (e.g. an
+                # all-isolated graph whose gather is empty): recompute
+                # directly — bestinfo/cinfo are persisted, so this is one
+                # cheap agg.
                 row = (
                     bestinfo.agg(F.sum("w_own").alias("e_xx"))
                     .crossJoin(

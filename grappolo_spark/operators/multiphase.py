@@ -40,10 +40,13 @@ from grappolo_spark.plans.iteration import cut_lineage
 from grappolo_spark.plans.ranking import dense_rank_ids
 
 
+RENUMBER_SMALL_THRESHOLD = 100_000
+
+
 def renumber_contiguously(
     assign: DataFrame,
     size_hint: int | None = None,
-    small_threshold: int = 100_000,
+    small_threshold: int = RENUMBER_SMALL_THRESHOLD,
 ) -> tuple[DataFrame, int]:
     """Renumber communities to dense 0..k-1.
 
@@ -53,38 +56,34 @@ def renumber_contiguously(
     and distributed (groupBy + a k-row window, k = #communities).
     Sentinel −1 (isolated, dropped by vertex following) stays −1.
 
-    ``size_hint`` (an upper bound on k — multiphase passes the phase's
-    vertex count) selects a driver-side fast path below
-    ``small_threshold``: collect the k (comm, min-member) pairs, rank on
-    the driver, broadcast the mapping back — ONE action instead of the
-    distributed ranking's range-exchange + counts + window + cut, which
-    is pure fixed overhead for the few-thousand-cluster coarse phases.
-    Identical output either way; without a hint the distributed path runs
-    (a billion-community phase 1 must never collect).
+    ``size_hint`` (an upper bound on the ROW count of ``assign`` —
+    multiphase passes the phase's vertex count) selects a driver-side fast
+    path below ``small_threshold``: collect the assignment, renumber in
+    Python, and return a **LocalRelation** (``createDataFrame``). One
+    simple-scan action, and — the real win for the coarse phases, where
+    ~2s/job of plan-compile dominates — the result carries its data in
+    the plan, so downstream consumers (coarsen's two joins, the end-of-run
+    C_orig fold) broadcast it with no lineage cut and no scratch-parquet
+    lifetime to manage. Identical values either way; without a hint the
+    distributed path runs (a billion-community phase 1 must never collect).
     """
+    spark = assign.sparkSession
+    if size_hint is not None and size_hint <= small_threshold:
+        pairs = [(r["v"], r["comm"]) for r in assign.select("v", "comm").collect()]
+        first: dict = {}
+        for v, c in pairs:
+            if c >= 0 and (c not in first or v < first[c]):
+                first[c] = v
+        order = sorted(first, key=lambda c: first[c])
+        remap = {c: i for i, c in enumerate(order)}
+        out_rows = [(v, remap[c] if c >= 0 else -1) for v, c in pairs]
+        out = spark.createDataFrame(out_rows, "v long, comm long")
+        return out, len(order)
     firsts = (
         assign.filter(F.col("comm") >= 0)
         .groupBy("comm")
         .agg(F.min("v").alias("first_v"))
     )
-    spark = assign.sparkSession
-    if size_hint is not None and size_hint <= small_threshold:
-        rows = sorted(firsts.collect(), key=lambda r: r["first_v"])
-        k = len(rows)
-        if k == 0:
-            out = assign.select("v", F.lit(-1).cast("long").alias("comm")).limit(0)
-            return out, 0
-        mapping = spark.createDataFrame(
-            [(r["comm"], i) for i, r in enumerate(rows)],
-            "comm long, new_comm long",
-        )
-        out = (
-            assign.join(F.broadcast(mapping), "comm", "left")
-            .select(
-                "v", F.coalesce("new_comm", F.lit(-1)).cast("long").alias("comm")
-            )
-        )
-        return out, k
     # distributed partition-offset ranking (runs EVERY phase — a global
     # single-partition window here would funnel ~|V|/2 community ids
     # through one task at phase 1); k falls out of the offsets for free
@@ -296,15 +295,19 @@ def louvain(
         curr_mod = res.modularity
         tot_itr += res.iterations
 
-        # nv bounds the cluster count, selecting the driver-side renumber
-        # for small (coarse) phases
+        # nv bounds the assignment's row count, selecting the driver-side
+        # renumber for small (coarse) phases
         assign, num_clusters = renumber_contiguously(res.assignment, size_hint=nv)
-        # keep_last must outlive the whole run: the end-of-run fold reads
-        # every phase's assignment parquet. (A persist would be cheaper on
-        # paper, but interdependent caches + later unpersist trigger
-        # recache-recompilation storms on this Spark build — measured 35s
-        # slower at sf0.1; parquet cuts keep every phase independent.)
-        assign = cut_lineage(assign, tag="phase_assign", keep_last=256)
+        if nv > RENUMBER_SMALL_THRESHOLD:
+            # distributed renumber → parquet-cut the assignment. keep_last
+            # must outlive the whole run: the end-of-run fold reads every
+            # phase's assignment parquet. (A persist would be cheaper on
+            # paper, but interdependent caches + later unpersist trigger
+            # recache-recompilation storms on this Spark build — measured
+            # 35s slower at sf0.1; parquet cuts keep every phase
+            # independent.) The driver path needs no cut at all: its
+            # LocalRelation carries the rows in the plan.
+            assign = cut_lineage(assign, tag="phase_assign", keep_last=256)
         prev_k = num_clusters
 
         # defer C_orig[i] = C[C_orig[i]] (`runMultiPhaseBasic.cpp:105-112`):
