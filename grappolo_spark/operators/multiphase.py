@@ -69,16 +69,27 @@ def renumber_contiguously(
     """
     spark = assign.sparkSession
     if size_hint is not None and size_hint <= small_threshold:
-        pairs = [(r["v"], r["comm"]) for r in assign.select("v", "comm").collect()]
-        first: dict = {}
-        for v, c in pairs:
-            if c >= 0 and (c not in first or v < first[c]):
-                first[c] = v
-        order = sorted(first, key=lambda c: first[c])
-        remap = {c: i for i, c in enumerate(order)}
-        out_rows = [(v, remap[c] if c >= 0 else -1) for v, c in pairs]
-        out = spark.createDataFrame(out_rows, "v long, comm long")
-        return out, len(order)
+        import numpy as np
+        import pandas as pd
+
+        # Arrow both ways: py4j row collect / pickle createDataFrame are
+        # ~10x slower than toPandas/pandas at these row counts
+        pdf = assign.select("v", "comm").toPandas()
+        vs = pdf["v"].to_numpy(dtype=np.int64)
+        cs = pdf["comm"].to_numpy(dtype=np.int64)
+        pos = cs >= 0
+        # min member vertex id per community, ranked ascending = the
+        # reference's first-appearance order of a serial 0..NV-1 scan
+        order_idx = np.lexsort((vs[pos], cs[pos]))
+        cu, firstpos = np.unique(cs[pos][order_idx], return_index=True)
+        rank = np.argsort(np.argsort(vs[pos][order_idx][firstpos]))
+        remap = dict(zip(cu.tolist(), rank.tolist()))
+        new_c = np.array([remap[c] if c >= 0 else -1 for c in cs.tolist()],
+                         dtype=np.int64)
+        out = spark.createDataFrame(
+            pd.DataFrame({"v": vs, "comm": new_c}), "v long, comm long"
+        )
+        return out, len(cu)
     firsts = (
         assign.filter(F.col("comm") >= 0)
         .groupBy("comm")
