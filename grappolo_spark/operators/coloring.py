@@ -213,6 +213,197 @@ def select_coloring_algo(g: Graph, num_colors_cap: int = 1024) -> str:
     return "multihash" if maxdeg + 1 > num_colors_cap else "distance_one"
 
 
+def _class_best_moves(counter, state0, cinfo_cand, const: float):
+    """Winner + gain/swap-protection filter for ONE color class.
+
+    Shared by the distributed and small-state paths — identical column
+    expressions keep the two paths bit-identical on integer-weight graphs
+    (all sums are exact, so aggregation order cannot split them).
+    Single-pass best candidate + own-community weight, same shape as the
+    plain kernel: the argmax orders by the reduced score
+    ``wsum − deg·a_y·const`` (eix/ax shift every candidate's gain
+    equally), so ONE groupBy(v) yields the winner AND w_own; the gain
+    formula and the swap protection (vs the CURRENT COMMUNITY id,
+    maxIndex > sc, `utilityClusteringFunctions.cpp:254-256`) run only on
+    the O(movers) winners.
+    """
+    bestinfo = (
+        counter.join(state0, "v")
+        .join(cinfo_cand, "cand")
+        .withColumn("is_own", F.col("cand") == F.col("comm"))
+        .withColumn(
+            "score",
+            F.col("wsum") - F.col("deg") * F.col("ay") * F.lit(const),
+        )
+        .groupBy("v")
+        .agg(
+            F.min_by(
+                F.struct("cand", "wsum", "ay", "csize_cand"),
+                F.struct(
+                    F.when(F.col("is_own"), F.lit(float("inf")))
+                    .otherwise(-F.col("score"))
+                    .alias("ns"),
+                    F.col("cand"),
+                ),
+            ).alias("b"),
+            F.sum(
+                F.when(F.col("is_own"), F.col("wsum")).otherwise(F.lit(0.0))
+            ).alias("w_own"),
+            F.first("comm").alias("comm"),
+            F.first("deg").alias("deg"),
+            F.first("selfloop").alias("selfloop"),
+            F.first("cdeg_cur").alias("cdeg_cur"),
+            F.first("csize_cur").alias("csize_cur"),
+        )
+    )
+    return (
+        bestinfo.withColumn("cand", F.col("b.cand"))
+        .filter(
+            F.col("cand").isNotNull() & (F.col("cand") != F.col("comm"))
+        )
+        .withColumn("eix", F.col("w_own") - F.col("selfloop"))
+        .withColumn("ax", F.col("cdeg_cur") - F.col("deg"))
+        .withColumn(
+            "gain",
+            2.0 * (F.col("b.wsum") - F.col("eix"))
+            - 2.0 * F.col("deg") * (F.col("b.ay") - F.col("ax"))
+            * F.lit(const),
+        )
+        .filter(F.col("gain") > 0)
+        .select(
+            "v",
+            "cand",
+            (
+                (F.col("b.csize_cand") == 1)
+                & (F.col("csize_cur") == 1)
+                & (F.col("cand") > F.col("comm"))
+            ).alias("blocked"),
+        )
+    )
+
+
+# state rows at or below this bound run the colored sweep with driver-held
+# community state (numpy) — the gather/argmax stays in Spark, only the O(V)
+# sides cross the boundary per class
+_SMALL_STATE_MAX = 100_000
+
+
+def _colored_small_state(
+    spark, edges, pdf, classes, const, two_m, thresh, lower, max_iters
+):
+    """Colored Gauss-Seidel sweeps with driver-held community state.
+
+    Same per-class semantics as the distributed loop below — the gather
+    (edges ⋈ movers ⋈ assignment → groupBy(v, cand)) and the winner/gain
+    logic (:func:`_class_best_moves`) run IN SPARK over the persisted edge
+    table, so the heavy side never moves; only O(V) LocalRelations (movers,
+    assignment, per-community info computed in numpy — integer-exact, so
+    bit-equal to the distributed aggregation) are broadcast in, and only
+    the class's winner set (≤ movers rows) is collected out. This replaces
+    the per-class parquet cut of the full state — the dominant fixed cost
+    of a colored sweep at small |V| — with one lean collect per class;
+    empty classes are skipped outright (the driver knows the histogram).
+    The distributed path below is unchanged for large |V|: a billion-row
+    state must never collect.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vs = pdf["v"].to_numpy(np.int64)
+    comm = pdf["comm"].to_numpy(np.int64).copy()
+    deg = pdf["deg"].to_numpy(np.float64)
+    selfloop = pdf["selfloop"].to_numpy(np.float64)
+    color = pdf["color"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(vs)}
+
+    prev_mod = -1.0
+    prev_comm = comm.copy()
+    num_itrs = 0
+    for it in range(max_iters):
+        num_itrs = it + 1
+        for cls in classes:
+            mask = color == cls
+            if not mask.any():
+                continue
+            cu, inv = np.unique(comm, return_inverse=True)
+            cdeg = np.bincount(inv, weights=deg)
+            csize = np.bincount(inv).astype(np.int64)
+            movers = spark.createDataFrame(
+                pd.DataFrame({"src": vs[mask]}), "src long"
+            )
+            a_dst = spark.createDataFrame(
+                pd.DataFrame({"dst": vs, "comm_dst": comm}),
+                "dst long, comm_dst long",
+            )
+            state0 = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "v": vs[mask],
+                        "comm": comm[mask],
+                        "deg": deg[mask],
+                        "selfloop": selfloop[mask],
+                        "cdeg_cur": cdeg[inv[mask]],
+                        "csize_cur": csize[inv[mask]],
+                    }
+                ),
+                "v long, comm long, deg double, selfloop double, "
+                "cdeg_cur double, csize_cur long",
+            )
+            cinfo_cand = spark.createDataFrame(
+                pd.DataFrame({"cand": cu, "ay": cdeg, "csize_cand": csize}),
+                "cand long, ay double, csize_cand long",
+            )
+            counter = (
+                edges.join(F.broadcast(movers), "src")
+                .join(F.broadcast(a_dst), "dst")
+                .groupBy(
+                    F.col("src").alias("v"), F.col("comm_dst").alias("cand")
+                )
+                .agg(F.sum("weight").alias("wsum"))
+            )
+            best = _class_best_moves(
+                counter, F.broadcast(state0), F.broadcast(cinfo_cand), const
+            )
+            for r in best.collect():
+                if not r["blocked"]:
+                    comm[pos[r["v"]]] = r["cand"]
+
+        # full-scan modularity after the sweep: e_xx from the edge table
+        # (same expression as the distributed loop), a2_x in numpy
+        # (integer-exact sum of squared community degrees)
+        a_src = spark.createDataFrame(
+            pd.DataFrame({"src": vs, "cs": comm}), "src long, cs long"
+        )
+        a_dst2 = spark.createDataFrame(
+            pd.DataFrame({"dst": vs, "cd": comm}), "dst long, cd long"
+        )
+        e_xx = (
+            edges.join(F.broadcast(a_src), "src")
+            .join(F.broadcast(a_dst2), "dst")
+            .filter(F.col("cs") == F.col("cd"))
+            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
+            .collect()[0]["e_xx"]
+        )
+        cu, inv = np.unique(comm, return_inverse=True)
+        cdeg = np.bincount(inv, weights=deg)
+        a2_x = float((cdeg * cdeg).sum())
+        curr_mod = e_xx * const - a2_x * const * const
+        if (curr_mod - prev_mod) < thresh:
+            break
+        prev_mod = curr_mod if curr_mod > lower else lower
+        prev_comm = comm.copy()
+
+    out = spark.createDataFrame(
+        pd.DataFrame({"v": vs, "comm": prev_comm}), "v long, comm long"
+    )
+    return LouvainPhaseResult(
+        assignment=out,
+        modularity=prev_mod,
+        iterations=num_itrs,
+        two_m=two_m,
+    )
+
+
 def louvain_one_phase_colored(
     g: Graph,
     thresh: float = 0.01,
@@ -306,6 +497,19 @@ def louvain_one_phase_colored(
             "color",
         )
     )
+    # bounded probe: at or below _SMALL_STATE_MAX rows the whole sweep runs
+    # with driver-held state (per-class parquet cuts replaced by lean
+    # winner collects — see _colored_small_state); the limit stops the
+    # scan early on big graphs, so the probe costs one truncated read
+    probe = state.limit(_SMALL_STATE_MAX + 1).toPandas()
+    if len(probe) <= _SMALL_STATE_MAX:
+        vdeg.unpersist()
+        res = _colored_small_state(
+            spark, edges, probe, classes, const, two_m, thresh, lower,
+            max_iters,
+        )
+        edges.unpersist()
+        return res
     state = cut_lineage(state, tag="colored_state")
 
     prev_mod = -1.0
@@ -330,14 +534,6 @@ def louvain_one_phase_colored(
                 .groupBy(F.col("src").alias("v"), F.col("comm_dst").alias("cand"))
                 .agg(F.sum("weight").alias("wsum"))
             )
-            # single-pass best candidate + own-community weight — same
-            # shape as the plain kernel: the argmax orders by the reduced
-            # score ``wsum − deg·a_y·const`` (eix/ax shift every
-            # candidate's gain equally), so ONE groupBy(v) yields the
-            # winner AND w_own; the gain formula and the swap protection
-            # (vs the CURRENT COMMUNITY id, maxIndex > sc,
-            # `utilityClusteringFunctions.cpp:254-256`) run only on the
-            # O(movers) winners
             state0 = movers.join(
                 cinfo.select(
                     "comm",
@@ -350,59 +546,7 @@ def louvain_one_phase_colored(
                 F.col("comm").alias("cand"), F.col("cdeg").alias("ay"),
                 F.col("csize").alias("csize_cand"),
             )
-            bestinfo = (
-                counter.join(state0, "v")
-                .join(cinfo_cand, "cand")
-                .withColumn("is_own", F.col("cand") == F.col("comm"))
-                .withColumn(
-                    "score",
-                    F.col("wsum") - F.col("deg") * F.col("ay") * F.lit(const),
-                )
-                .groupBy("v")
-                .agg(
-                    F.min_by(
-                        F.struct("cand", "wsum", "ay", "csize_cand"),
-                        F.struct(
-                            F.when(F.col("is_own"), F.lit(float("inf")))
-                            .otherwise(-F.col("score"))
-                            .alias("ns"),
-                            F.col("cand"),
-                        ),
-                    ).alias("b"),
-                    F.sum(
-                        F.when(F.col("is_own"), F.col("wsum")).otherwise(F.lit(0.0))
-                    ).alias("w_own"),
-                    F.first("comm").alias("comm"),
-                    F.first("deg").alias("deg"),
-                    F.first("selfloop").alias("selfloop"),
-                    F.first("cdeg_cur").alias("cdeg_cur"),
-                    F.first("csize_cur").alias("csize_cur"),
-                )
-            )
-            best = (
-                bestinfo.withColumn("cand", F.col("b.cand"))
-                .filter(
-                    F.col("cand").isNotNull() & (F.col("cand") != F.col("comm"))
-                )
-                .withColumn("eix", F.col("w_own") - F.col("selfloop"))
-                .withColumn("ax", F.col("cdeg_cur") - F.col("deg"))
-                .withColumn(
-                    "gain",
-                    2.0 * (F.col("b.wsum") - F.col("eix"))
-                    - 2.0 * F.col("deg") * (F.col("b.ay") - F.col("ax"))
-                    * F.lit(const),
-                )
-                .filter(F.col("gain") > 0)
-                .select(
-                    "v",
-                    "cand",
-                    (
-                        (F.col("b.csize_cand") == 1)
-                        & (F.col("csize_cur") == 1)
-                        & (F.col("cand") > F.col("comm"))
-                    ).alias("blocked"),
-                )
-            )
+            best = _class_best_moves(counter, state0, cinfo_cand, const)
             state = (
                 state.join(best, "v", "left")
                 .select(

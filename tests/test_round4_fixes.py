@@ -181,3 +181,21 @@ def test_bipartite_mtx_sink_guard(spark, tmp_path):
     with open(out) as f:
         body = f.read().splitlines()
     assert body[1] == "2 2 2" and body[2] == "1 1 1"
+
+
+def test_colored_small_state_matches_distributed(spark, monkeypatch):
+    # the small-state colored sweep (driver-held comm, per-class winner
+    # collects) must be bit-identical to the distributed per-class loop:
+    # same gather/argmax expressions, integer-exact community aggregates
+    from grappolo_spark.operators import coloring as C
+    from grappolo_spark.sources import fixtures
+
+    g = fixtures.karate(spark)
+    res_small = C.louvain_one_phase_colored(g, thresh=1e-6, max_iters=5)
+    monkeypatch.setattr(C, "_SMALL_STATE_MAX", 0)  # force distributed
+    res_dist = C.louvain_one_phase_colored(g, thresh=1e-6, max_iters=5)
+    assert res_small.modularity == res_dist.modularity
+    assert res_small.iterations == res_dist.iterations
+    a = {r["v"]: r["comm"] for r in res_small.assignment.collect()}
+    b = {r["v"]: r["comm"] for r in res_dist.assignment.collect()}
+    assert a == b
