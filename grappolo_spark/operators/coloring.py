@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from grappolo_spark.graph import Graph
 from grappolo_spark.operators.louvain import LouvainPhaseResult
-from grappolo_spark.plans.iteration import cut_lineage
+from grappolo_spark.plans.iteration import cut_lineage, promote_result
 
 _MEX = """
 aggregate(
@@ -586,9 +586,10 @@ def louvain_one_phase_colored(
 
     edges.unpersist()
     vdeg.unpersist()
-    prev_assign = cut_lineage(
-        prev_assign.select("v", "comm"), tag="result", keep_last=64
-    )
+    # colored_prev-backed state (keep_last=2!) is renamed into the result
+    # window; the zero-iteration projection over colored_state falls back
+    # to a real cut — either way the caller's files outlive later runs
+    prev_assign = promote_result(prev_assign, fallback_cut=True)
     return LouvainPhaseResult(
         assignment=prev_assign.select("v", "comm"),
         modularity=prev_mod,

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from grappolo_spark.graph import Graph
-from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
+from grappolo_spark.plans.iteration import (
+    SuperstepRunner,
+    cut_lineage,
+    promote_result,
+)
 
 
 def _local_lpa(g: Graph, max_iters: int, stop_on_converge: bool) -> DataFrame:
@@ -129,4 +133,7 @@ def label_propagation(
             break
 
     pairs.unpersist()
-    return cut_lineage(labels, tag="result", keep_last=64)
+    # rename the last commit into the long-lived result window instead of
+    # re-writing it (no Spark job; falls back to a real cut if the label
+    # table is somehow not rotation-backed)
+    return promote_result(labels, fallback_cut=True)

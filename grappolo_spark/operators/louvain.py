@@ -52,6 +52,7 @@ from grappolo_spark.graph import Graph
 from grappolo_spark.plans.iteration import (
     SuperstepRunner,
     cut_lineage,
+    promote_result,
     read_observation,
 )
 
@@ -1018,10 +1019,16 @@ def louvain_one_phase(
     # (measured ~1s x phases on the forced-distributed multiphase). The
     # only uncut case is a tiny coarse phase's skipped init cut, whose
     # plan is a cheap projection over the coarse-edge parquet.
+    # promote_result (a rename, no job) moves a commit-rotation-backed
+    # assignment into the long-lived result window — without it, a LATER
+    # kernel run's commits rotate this run's file out from under the
+    # caller (FAILED_READ_FILE on collect; caught by
+    # test_kernel_result_survives_later_runs).
     for df_ in retired + pending:
         df_.unpersist()
     edges.unpersist()
     vdeg_full.unpersist()
+    prev_assign = promote_result(prev_assign)
     return LouvainPhaseResult(
         assignment=prev_assign.select("v", "comm"),
         modularity=prev_mod,

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from grappolo_spark.graph import Graph
-from grappolo_spark.plans.iteration import SuperstepRunner, cut_lineage
+from grappolo_spark.plans.iteration import (
+    SuperstepRunner,
+    cut_lineage,
+    promote_result,
+)
 
 
 def pagerank(
@@ -130,7 +134,11 @@ def pagerank(
         if tol is not None and delta < tol:
             break
 
-    out = cut_lineage(ranks.select("v", "rank"), tag="result", keep_last=64)
+    # every loop path ends on a committed (rotation-backed) ranks table —
+    # the commit condition includes step == max_iters - 1 — so this is a
+    # rename, not a re-write; a durable run_dir commit passes through and
+    # stays backed by its own run directory
+    out = promote_result(ranks).select("v", "rank")
     base.unpersist()
     edges.unpersist()
     return out

@@ -111,11 +111,67 @@ def cut_lineage(df: DataFrame, tag: str = "step", keep_last: int = 6) -> DataFra
     path = os.path.join(st["root"], f"{tag}-{st['n']:06d}")
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
+    # breadcrumb for promote_result: which rotation owns this DF's files
+    out._grappolo_scratch = (key, tag, path)
     q = st["tags"].setdefault(tag, deque())
     q.append(path)
     while len(q) > keep_last:
         old = q.popleft()
         shutil.rmtree(old, ignore_errors=True)
+    return out
+
+
+def promote_result(
+    df: DataFrame, keep_last: int = 64, fallback_cut: bool = False
+) -> DataFrame:
+    """Move a rotation-backed DataFrame's files into the long-lived
+    ``result`` rotation — an ``os.rename``, NO Spark job.
+
+    A kernel that returns its last ``runner.commit`` / ``cut_lineage``
+    output directly hands the caller a DataFrame whose backing parquet
+    still sits in a short rotating window (e.g. tag ``commit``,
+    ``keep_last=6``). Any LATER kernel run in the same session then rotates
+    those files out and deletes them before the caller collects —
+    FAILED_READ_FILE on a perfectly good result. Re-cutting at exit fixes
+    the lifetime but costs a full extra write+read job per phase; this
+    promotes the already-written files instead: pop the path out of its
+    rotation, rename it into the shared ``result`` window (``keep_last``
+    matches the explicit result cuts elsewhere), and re-read. DataFrames
+    that are not directly rotation-backed (LocalRelations, durable run_dir
+    commits, chained localCheckpoints, derived plans) pass through
+    unchanged — callers returning a DERIVED plan over scratch must still
+    use :func:`cut_lineage`, or pass ``fallback_cut=True`` to get an
+    explicit ``result`` cut whenever the rename fast path doesn't apply.
+    """
+
+    def _fallback(d):
+        return (
+            cut_lineage(d, tag="result", keep_last=keep_last)
+            if fallback_cut
+            else d
+        )
+
+    info = getattr(df, "_grappolo_scratch", None)
+    if info is None:
+        return _fallback(df)
+    key, tag, path = info
+    st = _SCRATCH.get(key)
+    if st is None:
+        return _fallback(df)
+    q = st["tags"].get(tag)
+    if q is None or path not in q:
+        return _fallback(df)  # already rotated out: only a re-cut can help
+    spark = df.sparkSession
+    q.remove(path)
+    st["n"] += 1
+    new_path = os.path.join(st["root"], f"result-{st['n']:06d}")
+    os.rename(path, new_path)
+    out = spark.read.parquet(new_path)
+    out._grappolo_scratch = (key, "result", new_path)
+    rq = st["tags"].setdefault("result", deque())
+    rq.append(new_path)
+    while len(rq) > keep_last:
+        shutil.rmtree(rq.popleft(), ignore_errors=True)
     return out
 
 

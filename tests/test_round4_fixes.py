@@ -199,3 +199,32 @@ def test_colored_small_state_matches_distributed(spark, monkeypatch):
     a = {r["v"]: r["comm"] for r in res_small.assignment.collect()}
     b = {r["v"]: r["comm"] for r in res_dist.assignment.collect()}
     assert a == b
+
+
+def test_kernel_result_survives_later_runs(spark):
+    # the kernel returns its last commit WITHOUT a final re-cut; that file
+    # must leave the rotating commit window (promote_result rename) or any
+    # later run's commits delete it before the caller collects
+    # (FAILED_READ_FILE — originally seen as a cross-test flake when two
+    # louvain_one_phase runs shared one session)
+    from grappolo_spark.operators.labelprop import label_propagation
+    from grappolo_spark.operators.louvain import louvain_one_phase
+    from grappolo_spark.operators.pagerank import pagerank
+    from grappolo_spark.plans.iteration import cut_lineage
+    from grappolo_spark.sources import fixtures
+
+    g = fixtures.karate(spark)
+    louv = louvain_one_phase(g)
+    lpa = label_propagation(g, max_iters=3, stop_on_converge=False,
+                            local_threshold=0)
+    pr = pagerank(g, max_iters=3)
+    # churn every short rotation well past its keep_last window, exactly
+    # what subsequent kernel runs do
+    junk = spark.range(3).selectExpr("id as v", "id as comm")
+    for tag in ("commit", "louvain_assign", "lpa", "pagerank",
+                "colored_prev", "colored_state"):
+        for _ in range(8):
+            cut_lineage(junk, tag=tag)
+    assert len(louv.assignment.collect()) == 34
+    assert lpa.count() == 34
+    assert pr.count() == 34
