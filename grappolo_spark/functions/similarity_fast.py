@@ -9,8 +9,9 @@ Two numpy kernels, both bit-identical to ``similarity.cosine_topk`` (same
   batches. Fine while the corpus fits in executor memory (~10M x 128);
   the full-corpus ``collect`` makes it a small/medium-scale tool.
 - ``cosine_topk_sharded`` : the 100 TB orientation — broadcasts the
-  (small) QUERY matrix, streams the corpus through ``mapInPandas`` (one
-  BLAS matmul + per-batch top-k per Arrow batch), then merges the
+  (small) QUERY matrix, streams the corpus through ``mapInPandas``
+  (query-blocked BLAS matmuls + vectorized top-k per Arrow batch, ~32 MB
+  of temporaries per task no matter the query count), then merges the
   per-batch winners with a grouped top-k. The corpus is never collected;
   driver/executor memory is O(|queries| * dim), the scan is fully
   distributed and projection-pruned, and the merge input is only
@@ -32,6 +33,74 @@ from pyspark.sql import functions as F
 # ivf_cosine_topk), which never collect; a silent collect of the "small"
 # side is exactly the 100 TB driver-OOM the round-2 review flagged.
 MAX_COLLECT_ROWS = 1_000_000
+
+
+def _batch_topk(
+    cos: np.ndarray, row_ids: np.ndarray, col_ids: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Exact per-row top-k of a ROUNDED cosine matrix under the total
+    order (cosine desc, neighbor id asc), excluding self pairs.
+
+    Replaces the original per-row ``mask + full-row lexsort`` loop, which
+    was the kernel's real cost at scale (a 5000-query x 1500-candidate
+    batch spends ~80% of its wall time in 5000 python-level full-row
+    sorts, not in the BLAS matmul). Here selection is vectorized:
+
+    - self pairs (col id == row id) are dropped by writing ``-inf``;
+    - one ``argpartition`` per batch finds each row's k-th largest value;
+    - every entry >= that threshold is a candidate — a superset of the
+      true top-k, because under (cos desc, id asc) all of the top-k have
+      cosine >= the k-th largest cosine value;
+    - only the small candidate sets (k plus boundary ties) reach
+      python-level lexsort for the id tie-break.
+
+    Bit-identical output (``cos`` is already rounded, so selection and
+    tie-break see exactly the values the original loop saw); the one
+    deliberate divergence is degenerate NaN cosines (zero-norm vectors),
+    which are mapped to ``-inf`` — both variants keep them out of any
+    full top-k, they differ only in the padding of under-full rows.
+
+    Mutates ``cos`` in place (self-mask / NaN rewrite). Returns the flat
+    (query_id, neighbor_id, cosine) frame.
+    """
+    nq, n = cos.shape
+    np.nan_to_num(cos, copy=False, nan=-np.inf)
+    order_r = np.argsort(row_ids)
+    sorted_rids = row_ids[order_r]
+    pos = np.searchsorted(sorted_rids, col_ids)
+    pos_c = np.minimum(pos, len(sorted_rids) - 1)
+    hit = sorted_rids[pos_c] == col_ids
+    if hit.any():
+        cos[order_r[pos_c[hit]], np.flatnonzero(hit)] = -np.inf
+    kk = min(k, n)
+    if kk < n:
+        part = np.argpartition(cos, n - kk, axis=1)[:, n - kk:]
+        thr = cos[np.arange(nq)[:, None], part].min(axis=1)
+    else:
+        thr = cos.min(axis=1) if n else np.full(nq, -np.inf)
+    ge = cos >= thr[:, None]
+    rows, cols = np.nonzero(ge)
+    cand_ids = col_ids[cols]
+    cand_cos = cos[rows, cols]
+    # one global lexsort of the (k + boundary ties) x nq candidate pool —
+    # primary key row, then the (cos desc, id asc) tie-break — then keep
+    # each row's first k by rank-within-segment; no python-level loop
+    order = np.lexsort((cand_ids, -cand_cos, rows))
+    counts = ge.sum(axis=1)
+    rank = np.arange(len(rows)) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+    )
+    keep = order[rank < k]
+    sel_cos = cand_cos[keep]
+    real = sel_cos != -np.inf  # under-full rows: drop self/NaN padding
+    keep = keep[real]
+    return pd.DataFrame(
+        {
+            "query_id": row_ids[rows[keep]],
+            "neighbor_id": cand_ids[keep],
+            "cosine": cand_cos[keep],
+        }
+    )
 
 
 def _guard_collect_side(df: DataFrame, side: str, limit: int, alternatives: str) -> None:
@@ -81,24 +150,37 @@ def cosine_topk_np(
         for b in batches:
             qids = b[id_col].to_numpy(dtype=np.int64)
             qmat = np.array(list(b[vec_col]), dtype=np.float64)
+            if qmat.size == 0:
+                continue
             qnorms = np.sqrt((qmat * qmat).sum(axis=1))
-            cos = np.round(
-                (qmat @ b_mat.T) / np.outer(qnorms, b_norms), 6
+            # block the CORPUS axis so the score matrix stays ~32 MB per
+            # task (a 10k-query Arrow batch against the 1M-row broadcast
+            # bound would otherwise materialize an 80 GB matrix); the
+            # expression shape a/(|q|·|c|) — then round — is untouched, so
+            # values stay bit-identical to the HOF kernel, and the global
+            # top-k is contained in the union of per-chunk top-ks, merged
+            # below under the same (cos desc, id asc) order
+            cblk = max(128, 4_000_000 // max(1, len(qids)))
+            parts = []
+            for lo in range(0, len(b_ids), cblk):
+                hi = lo + cblk
+                cos = qmat @ b_mat[lo:hi].T
+                np.divide(
+                    cos, np.outer(qnorms, b_norms[lo:hi]), out=cos
+                )
+                np.round(cos, 6, out=cos)
+                parts.append(_batch_topk(cos, qids, b_ids[lo:hi], k))
+            if len(parts) == 1:
+                yield parts[0]
+                continue
+            cand = pd.concat(parts, ignore_index=True)
+            cand.sort_values(
+                ["query_id", "cosine", "neighbor_id"],
+                ascending=[True, False, True],
+                inplace=True,
+                kind="mergesort",
             )
-            out_q, out_n, out_c = [], [], []
-            for i, qid in enumerate(qids):
-                row = cos[i]
-                mask = b_ids != qid
-                cand_ids = b_ids[mask]
-                cand_cos = row[mask]
-                # top-k by (cosine desc, id asc): lexsort on (-cos, id)
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(cand_ids[order])
-                out_c.extend(cand_cos[order])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
-            )
+            yield cand.groupby("query_id", sort=False).head(k)
 
     return q.mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
@@ -146,22 +228,24 @@ def cosine_topk_sharded(
             if cmat.size == 0:
                 continue
             cnorms = np.sqrt((cmat * cmat).sum(axis=1))
-            cos = np.round(
-                (b_qmat @ cmat.T) / np.outer(b_qnorms, cnorms), 6
-            )
-            out_q, out_n, out_c = [], [], []
-            for i, qid in enumerate(b_qids):
-                row = cos[i]
-                mask = cids != qid
-                cand_ids = cids[mask]
-                cand_cos = row[mask]
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(cand_ids[order])
-                out_c.extend(cand_cos[order])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
-            )
+            # block the QUERY axis so per-task temporaries stay ~32 MB
+            # (cos chunk + outer-norm chunk) no matter how many queries
+            # broadcast: an unblocked |Q| x batch score matrix is
+            # O(|Q| * rows) per task, and with every core running one, the
+            # box hits the DRAM/allocator wall before it hits compute
+            # (measured: 32 tasks x 250 MB temporaries ran 6x slower per
+            # pair than 8 x 62 MB). Values are bit-identical — dot, outer
+            # divide, and round are row-wise element-wise, so row blocks
+            # see exactly the full-matrix arithmetic.
+            blk = max(128, 4_000_000 // max(1, len(cids)))
+            for lo in range(0, len(b_qids), blk):
+                hi = lo + blk
+                cos = b_qmat[lo:hi] @ cmat.T
+                np.divide(
+                    cos, np.outer(b_qnorms[lo:hi], cnorms), out=cos
+                )
+                np.round(cos, 6, out=cos)
+                yield _batch_topk(cos, b_qids[lo:hi], cids, k)
 
     cand = df.select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"

@@ -38,6 +38,41 @@ def run_job(cpus: int, extra: list[str]) -> dict:
     return json.loads(line)
 
 
+def run_ann_weak_pair(n: int, n4: int, rows_n: int) -> dict:
+    """Weak-scaling pair on the compute-bound ANN kernel: the 4N leg gets
+    4x the scored pairs (2x rows, since pairs ~ rows^2 at a fixed query
+    fraction) — the regime the north rule actually describes (a 4N
+    cluster serving 4x the data at matched throughput). Efficiency is
+    throughput_4N / (4 * throughput_N) == T_N / T_4N."""
+    rows_4n = 2 * rows_n
+    lo = run_job(n, ["--workload", "ann_np", "--ann-rows", str(rows_n)])
+    print(
+        f"# ann_np local[{n}] rows={rows_n}: {lo['seconds']}s "
+        f"({lo['pairs_per_sec']:,.0f} pairs/s)",
+        file=sys.stderr, flush=True,
+    )
+    hi = run_job(n4, ["--workload", "ann_np", "--ann-rows", str(rows_4n)])
+    print(
+        f"# ann_np local[{n4}] rows={rows_4n}: {hi['seconds']}s "
+        f"({hi['pairs_per_sec']:,.0f} pairs/s)",
+        file=sys.stderr, flush=True,
+    )
+    eff = round(
+        (hi["pairs_per_sec"] / lo["pairs_per_sec"]) / (n4 / n), 3
+    )
+    return {
+        "workload": f"ann_np weak scaling: {lo['pairs_scored']:,} pairs at "
+        f"local[{n}] vs {hi['pairs_scored']:,} pairs at local[{n4}]",
+        "n_cores": n,
+        "n4_cores": n4,
+        "seconds_n": lo["seconds"],
+        "seconds_4n": hi["seconds"],
+        "pairs_per_sec_n": lo["pairs_per_sec"],
+        "pairs_per_sec_4n": hi["pairs_per_sec"],
+        "scaling_efficiency": eff,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
@@ -45,6 +80,14 @@ def main() -> int:
     ap.add_argument("--vertices", type=int, default=1 << 20)
     ap.add_argument("--avg-degree", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--ann-weak-rows",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="also run the ann_np weak-scaling pair (ROWS at N cores vs "
+        "2*ROWS = 4x pairs at 4N cores) and record it in SCALING.json",
+    )
     args = ap.parse_args()
     extra = [
         "--vertices", str(args.vertices),
@@ -74,8 +117,13 @@ def main() -> int:
         "edges_per_sec_superstep_4n": hi["edges_per_sec_superstep"],
         "scaling_efficiency": eff,
     }
+    out = {"strong_pagerank": result}
+    if args.ann_weak_rows:
+        out["weak_ann_np"] = run_ann_weak_pair(
+            args.n, args.n4, args.ann_weak_rows
+        )
     with open("SCALING.json", "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(out if args.ann_weak_rows else result, f, indent=2)
 
     print(f"| workload | local[{args.n}] | local[{args.n4}] | efficiency T_N/(4·T_4N) |")
     print("|---|---|---|---|")
@@ -85,6 +133,14 @@ def main() -> int:
         f"| {hi['seconds']}s ({hi['edges_per_sec_superstep']:,.0f} e/s/superstep) "
         f"| **{eff}** |"
     )
+    if args.ann_weak_rows:
+        w = out["weak_ann_np"]
+        print(
+            f"| ann_np weak scaling (4x pairs at 4N) "
+            f"| {w['seconds_n']}s ({w['pairs_per_sec_n']:,.0f} pairs/s) "
+            f"| {w['seconds_4n']}s ({w['pairs_per_sec_4n']:,.0f} pairs/s) "
+            f"| **{w['scaling_efficiency']}** |"
+        )
     return 0
 
 
