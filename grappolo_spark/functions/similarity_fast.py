@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 # side is exactly the 100 TB driver-OOM the round-2 review flagged.
 MAX_COLLECT_ROWS = 1_000_000
 
+# Score-matrix block budget, in float64 elements (~32 MB): per-task
+# temporaries of the brute-force kernels stay near this bound no matter
+# how many queries broadcast or how wide an Arrow batch arrives. Tests
+# shrink it to force the multi-chunk merge path on tiny data.
+BLOCK_ELEMS = 4_000_000
+
 
 def _batch_topk(
     cos: np.ndarray, row_ids: np.ndarray, col_ids: np.ndarray, k: int
@@ -126,6 +132,7 @@ def cosine_topk_np(
     k: int = 5,
     queries: DataFrame | None = None,
     max_collect_rows: int = MAX_COLLECT_ROWS,
+    block_elems: int = BLOCK_ELEMS,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine): exact top-k, numpy-batched.
 
@@ -160,7 +167,7 @@ def cosine_topk_np(
             # values stay bit-identical to the HOF kernel, and the global
             # top-k is contained in the union of per-chunk top-ks, merged
             # below under the same (cos desc, id asc) order
-            cblk = max(128, 4_000_000 // max(1, len(qids)))
+            cblk = max(1, block_elems // max(1, len(qids)))
             parts = []
             for lo in range(0, len(b_ids), cblk):
                 hi = lo + cblk
@@ -194,6 +201,7 @@ def cosine_topk_sharded(
     k: int = 5,
     queries: DataFrame | None = None,
     max_collect_rows: int = MAX_COLLECT_ROWS,
+    block_elems: int = BLOCK_ELEMS,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine): exact top-k with a distributed
     corpus scan — the scale path.
@@ -237,7 +245,7 @@ def cosine_topk_sharded(
             # pair than 8 x 62 MB). Values are bit-identical — dot, outer
             # divide, and round are row-wise element-wise, so row blocks
             # see exactly the full-matrix arithmetic.
-            blk = max(128, 4_000_000 // max(1, len(cids)))
+            blk = max(1, block_elems // max(1, len(cids)))
             for lo in range(0, len(b_qids), blk):
                 hi = lo + blk
                 cos = b_qmat[lo:hi] @ cmat.T

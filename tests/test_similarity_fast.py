@@ -137,3 +137,37 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))  # deterministic
     ivf = {(r.query_id, r.neighbor_id) for r in got1}
     assert len(ivf & exact) / len(exact) >= 0.9
+
+
+def test_blocked_kernels_match_hof_kernel(spark):
+    """Force the multi-chunk merge paths (block_elems far below the data
+    size) and assert both numpy kernels still match the HOF kernel
+    bit-for-bit — the chunk boundaries must be invisible in the output."""
+    from grappolo_spark.functions.similarity_fast import cosine_topk_sharded
+
+    rng = np.random.RandomState(31)
+    vecs = rng.rand(50, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+    q = df.filter(F.col("vec_id") % 3 == 0)
+    a = sorted(map(tuple, cosine_topk(df, k=4, queries=q).collect()))
+    # sharded: query-axis blocks of ~block_elems/len(batch) rows
+    b = sorted(
+        map(
+            tuple,
+            cosine_topk_sharded(
+                df, k=4, queries=q, block_elems=40
+            ).collect(),
+        )
+    )
+    # np: corpus-axis chunks + exact per-batch top-k merge
+    c = sorted(
+        map(
+            tuple,
+            cosine_topk_np(df, k=4, queries=q, block_elems=40).collect(),
+        )
+    )
+    assert a == b
+    assert a == c
