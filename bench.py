@@ -9,9 +9,10 @@ Each headline query runs best-of-N (default N=2, $SPARK_GRAFT_BENCH_REPEATS)
 and reports the MIN plus every raw run, so a single externally-loaded run on
 this shared box can't masquerade as a regression (the round-2 bench was one
 unguarded run and its pagerank number landed 2.7x off the recorded best).
-The heavy forced-distributed diagnostic line (`louvain_distributed`) runs
-once — it exists to keep the 100x-scale plan measured, not to be the
-headline; `cc_star_distributed` is cheap enough to get best-of-N too.
+The heavy forced-distributed diagnostic lines (`louvain_distributed`,
+`louvain_colored`) run best-of-N like the rest since round 4 — a single
+loaded draw on the slowest lines distorted the round-4 record; they exist
+to keep the 100x-scale plan measured, not to be the headline.
 
 The headline throughput figure is edges/sec per superstep, measured on the
 PageRank loop (fixed 10 supersteps over the symmetrized cs edge table) —
@@ -114,7 +115,6 @@ def main() -> int:
         lambda: louvain(
             cs, max_phases=3, smart_init=True, local_threshold=0
         ).assignment.count(),
-        n=1,
     )
     # colored Gauss-Seidel diagnostic (the north-star heuristic,
     # `parallelLouvainWithColoring.cpp`) in its scale configuration:
@@ -127,7 +127,6 @@ def main() -> int:
             cs, max_phases=3, coloring=True, min_graph_size=2000,
             num_colors_cap=8, coloring_algo="multihash",
         ).assignment.count(),
-        n=1,
     )
 
     # bucketed warehouse sink: one-time bucketBy(src) write, then the
