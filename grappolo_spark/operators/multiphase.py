@@ -29,6 +29,7 @@ the Spark analogue of the reference keeping later phases cheap in cache.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -41,6 +42,33 @@ from grappolo_spark.plans.ranking import dense_rank_ids
 
 
 RENUMBER_SMALL_THRESHOLD = 100_000
+
+
+@contextmanager
+def _aqe_off_for_small(spark, nv: int | None, threshold: int = 100_000):
+    """Disable adaptive execution around a SMALL phase's jobs.
+
+    AQE's per-stage re-planning is pure overhead once a coarse graph is
+    tiny — there is no skew to split and no partitions worth coalescing
+    at <100k rows, but every query stage still pays the adaptive
+    round-trip. Measured on the forced-distributed multiphase (warm,
+    alternated A/B): sf0.001 15.5-19.5s with AQE vs 13.4-14.3s without;
+    at sf0.1 the gate is load-noise-neutral (31-36s both ways, Q
+    bit-identical) — the win is the micro-phase tail. Callers gate only
+    coarse phases (phase 1's input can be dense at small nv and keeps
+    AQE's skew handling). The conf is restored even on error; results
+    materialized inside (parquet commits) are unaffected by the
+    restore."""
+    if nv is None or nv > threshold:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def renumber_contiguously(
@@ -273,42 +301,51 @@ def louvain(
 
         phase_thresh = c_threshold if use_coloring else threshold
         prev_mod = curr_mod
-        if use_coloring:
-            res = louvain_one_phase_colored(
-                cur_g, thresh=phase_thresh, lower=curr_mod,
-                num_colors_cap=num_colors_cap,
-                coloring_algo=coloring_algo,
-                run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
-            )
-        else:
-            res = louvain_one_phase(
-                cur_g, thresh=phase_thresh, lower=curr_mod,
-                smart_init=smart_init,
-                sample_fraction=sample_fraction,
-                seed=seed,
-                sample_hash=sample_hash,
-                early_terminate=early_terminate,
-                ftr_phase=phase if fast_track_resistance else None,
-                # coarse phases skip the stats action: 2m is conserved by
-                # coarsening and |V| == the previous phase's cluster count
-                two_m_hint=two_m_seen,
-                nv_hint=prev_k,
-                # default 1: parquet-cut EVERY iteration. Chaining via
-                # localCheckpoint (>1) measured ~3x SLOWER at sf0.1 — the
-                # checkpoint materializes through the non-adaptive df.rdd
-                # path; the assignment is consumed 4-6x per iteration so
-                # some truncation is mandatory, and the parquet cut wins
-                lineage_cut_every=lineage_cut_every,
-                run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
-            )
-        if res.two_m:
-            two_m_seen = res.two_m
-        curr_mod = res.modularity
-        tot_itr += res.iterations
+        # gate only COARSE phases: their edge count is bounded by the
+        # previous phase's cluster pairs, so nv small => the whole phase
+        # is small. Phase 1's input can be dense (small nv, huge edge
+        # table) and keeps AQE's skew handling.
+        with _aqe_off_for_small(spark, nv if phase > 1 else None):
+            if use_coloring:
+                res = louvain_one_phase_colored(
+                    cur_g, thresh=phase_thresh, lower=curr_mod,
+                    num_colors_cap=num_colors_cap,
+                    coloring_algo=coloring_algo,
+                    run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
+                )
+            else:
+                res = louvain_one_phase(
+                    cur_g, thresh=phase_thresh, lower=curr_mod,
+                    smart_init=smart_init,
+                    sample_fraction=sample_fraction,
+                    seed=seed,
+                    sample_hash=sample_hash,
+                    early_terminate=early_terminate,
+                    ftr_phase=phase if fast_track_resistance else None,
+                    # coarse phases skip the stats action: 2m is conserved
+                    # by coarsening and |V| == the previous phase's
+                    # cluster count
+                    two_m_hint=two_m_seen,
+                    nv_hint=prev_k,
+                    # default 1: parquet-cut EVERY iteration. Chaining via
+                    # localCheckpoint (>1) measured ~3x SLOWER at sf0.1 —
+                    # the checkpoint materializes through the non-adaptive
+                    # df.rdd path; the assignment is consumed 4-6x per
+                    # iteration so some truncation is mandatory, and the
+                    # parquet cut wins
+                    lineage_cut_every=lineage_cut_every,
+                    run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
+                )
+            if res.two_m:
+                two_m_seen = res.two_m
+            curr_mod = res.modularity
+            tot_itr += res.iterations
 
-        # nv bounds the assignment's row count, selecting the driver-side
-        # renumber for small (coarse) phases
-        assign, num_clusters = renumber_contiguously(res.assignment, size_hint=nv)
+            # nv bounds the assignment's row count, selecting the
+            # driver-side renumber for small (coarse) phases
+            assign, num_clusters = renumber_contiguously(
+                res.assignment, size_hint=nv
+            )
         if nv > RENUMBER_SMALL_THRESHOLD:
             # distributed renumber → parquet-cut the assignment. keep_last
             # must outlive the whole run: the end-of-run fold reads every
@@ -343,19 +380,23 @@ def louvain(
         if phase > max_phases or tot_itr > max_total_iters:
             break
         if (curr_mod - prev_mod) > threshold:
-            cur_g = coarsen(cur_g, assign)
-            coarse_edges = cur_g.edges
-            if num_clusters <= 100_000:
-                # small coarse graphs: collapse to a few partitions before
-                # the cut. Leaving the parent's partition count (e.g. 32)
-                # makes every downstream stage schedule 32 near-empty
-                # tasks; at ~1k coarse vertices the task-scheduling
-                # overhead, not the data, is the phase cost.
-                coarse_edges = coarse_edges.coalesce(4)
-            cur_g = Graph(
-                edges=cut_lineage(coarse_edges, tag="coarse_edges", keep_last=2),
-                directed=cur_g.directed,
-            )
+            with _aqe_off_for_small(spark, nv if phase > 1 else None):
+                cur_g = coarsen(cur_g, assign)
+                coarse_edges = cur_g.edges
+                if num_clusters <= 100_000:
+                    # small coarse graphs: collapse to a few partitions
+                    # before the cut. Leaving the parent's partition count
+                    # (e.g. 32) makes every downstream stage schedule 32
+                    # near-empty tasks; at ~1k coarse vertices the
+                    # task-scheduling overhead, not the data, is the
+                    # phase cost.
+                    coarse_edges = coarse_edges.coalesce(4)
+                cur_g = Graph(
+                    edges=cut_lineage(
+                        coarse_edges, tag="coarse_edges", keep_last=2
+                    ),
+                    directed=cur_g.directed,
+                )
             phase += 1
         else:
             break
