@@ -71,13 +71,23 @@ def _batch_topk(
     """
     nq, n = cos.shape
     np.nan_to_num(cos, copy=False, nan=-np.inf)
+    # self-mask: for every corpus column whose id appears among the query
+    # rows, kill ALL matching rows — duplicate query ids in a block are
+    # legal (a caller may score the same id twice), and a single-hit
+    # searchsorted would leave the duplicates' self pairs at cosine 1.0.
+    # left/right bracket the (contiguous) duplicate run in the sorted id
+    # view; the range gather below is fully vectorized.
     order_r = np.argsort(row_ids)
     sorted_rids = row_ids[order_r]
-    pos = np.searchsorted(sorted_rids, col_ids)
-    pos_c = np.minimum(pos, len(sorted_rids) - 1)
-    hit = sorted_rids[pos_c] == col_ids
-    if hit.any():
-        cos[order_r[pos_c[hit]], np.flatnonzero(hit)] = -np.inf
+    left = np.searchsorted(sorted_rids, col_ids, side="left")
+    right = np.searchsorted(sorted_rids, col_ids, side="right")
+    cnt = right - left
+    total = int(cnt.sum())
+    if total:
+        cols_rep = np.repeat(np.arange(n), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(total) - np.repeat(offs, cnt)
+        cos[order_r[np.repeat(left, cnt) + within], cols_rep] = -np.inf
     kk = min(k, n)
     if kk < n:
         part = np.argpartition(cos, n - kk, axis=1)[:, n - kk:]
@@ -145,6 +155,10 @@ def cosine_topk_np(
         "cosine_topk_sharded (streams the corpus)",
     )
     rows = df.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus: no row can have a neighbor
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -177,6 +191,8 @@ def cosine_topk_np(
                 )
                 np.round(cos, 6, out=cos)
                 parts.append(_batch_topk(cos, qids, b_ids[lo:hi], k))
+            if not parts:  # empty corpus: no candidate rows for this batch
+                continue
             if len(parts) == 1:
                 yield parts[0]
                 continue
@@ -223,6 +239,10 @@ def cosine_topk_sharded(
         "lsh_cosine_topk or ivf_cosine_topk (bucketed, no collect)",
     )
     q_rows = q_side.collect()
+    if not q_rows:  # empty query set: empty result, same schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qnorms = np.sqrt((qmat * qmat).sum(axis=1))
@@ -337,6 +357,10 @@ def embedding_near_dup_pairs(
         'embedding_near_dup_pairs(method="lsh") (bucketed, no collect)',
     )
     rows = df.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus: no pairs
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import subprocess
 import sys
@@ -43,8 +44,10 @@ def run_ann_weak_pair(n: int, n4: int, rows_n: int) -> dict:
     4x the scored pairs (2x rows, since pairs ~ rows^2 at a fixed query
     fraction) — the regime the north rule actually describes (a 4N
     cluster serving 4x the data at matched throughput). Efficiency is
-    throughput_4N / (4 * throughput_N) == T_N / T_4N."""
-    rows_4n = 2 * rows_n
+    throughput_4N / ((n4/n) * throughput_N); the big-leg row count is
+    derived from the core ratio (pairs ~ rows^2, so rows scale by
+    sqrt(n4/n)) so a non-4x pair still reports a correct efficiency."""
+    rows_4n = max(rows_n, round(rows_n * math.sqrt(n4 / n)))
     lo = run_job(n, ["--workload", "ann_np", "--ann-rows", str(rows_n)])
     print(
         f"# ann_np local[{n}] rows={rows_n}: {lo['seconds']}s "
@@ -122,8 +125,10 @@ def main() -> int:
         out["weak_ann_np"] = run_ann_weak_pair(
             args.n, args.n4, args.ann_weak_rows
         )
+    # ALWAYS the keyed wrapper — a flat object on one flag value and a
+    # wrapper on the other made the schema depend on the invocation
     with open("SCALING.json", "w") as f:
-        json.dump(out if args.ann_weak_rows else result, f, indent=2)
+        json.dump(out, f, indent=2)
 
     print(f"| workload | local[{args.n}] | local[{args.n4}] | efficiency T_N/(4·T_4N) |")
     print("|---|---|---|---|")

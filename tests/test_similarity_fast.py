@@ -171,3 +171,45 @@ def test_blocked_kernels_match_hof_kernel(spark):
     )
     assert a == b
     assert a == c
+
+
+def test_duplicate_query_ids_never_leak_self_pairs(spark):
+    """r5 ADVICE: the searchsorted self-mask used to map each corpus column
+    to only ONE matching query row, so a duplicated query id in a block
+    kept its own cosine-1.0 self pair in the top-k. All duplicate rows
+    must be masked."""
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    # query id 3 appears TWICE (same vector, so both rows rank identically)
+    q = df.filter(F.col("vec_id") == 3).unionAll(
+        df.filter(F.col("vec_id") == 3)
+    ).coalesce(1)  # one Arrow batch => both dups in the same block
+    out = cosine_topk_np(df, k=5, queries=q).collect()
+    assert len(out) == 10  # 2 query rows x k
+    assert all(r.neighbor_id != 3 for r in out), "self pair leaked"
+    # both duplicate rows must see the identical neighbor list
+    lists = {}
+    for r in out:
+        lists.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    assert len(lists) == 1 and len(lists[3]) == 10
+
+
+def test_empty_corpus_yields_empty_result(spark):
+    """r5 ADVICE: an empty corpus left `parts` empty and pd.concat([])
+    raised; the kernel must yield an empty typed frame instead."""
+    rng = np.random.RandomState(9)
+    vecs = rng.rand(6, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    empty = df.filter(F.col("vec_id") < 0)
+    out = cosine_topk_np(empty, k=3, queries=df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine",
+    ]
