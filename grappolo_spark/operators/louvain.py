@@ -145,6 +145,10 @@ class LouvainPhaseResult:
     # total edge weight (2m), conserved by coarsening — multiphase feeds it
     # back to later phases as two_m_hint so they skip the stats action
     two_m: float = 0.0
+    # |V| as seen by the kernel (from the stats action or the caller's
+    # nv_hint) — lets multiphase skip its own distinct-count job for the
+    # phase-1 renumber size hint. None when the kernel never counted.
+    num_vertices: int | None = None
 
 
 def _singleton_sweep_best(edges: DataFrame, vdeg: DataFrame, const: float) -> DataFrame:
@@ -578,6 +582,7 @@ def louvain_one_phase(
     ):
         two_m = two_m_hint
         use_salting = False
+        nv_seen = nv_hint
         if broadcast_assign is None:
             broadcast_assign = nv_hint <= broadcast_max_vertices
     else:
@@ -588,8 +593,9 @@ def louvain_one_phase(
         ).collect()[0]
         two_m = stats0["tw"] or 0.0
         use_salting = (stats0["maxdeg"] or 0) > salt_threshold
+        nv_seen = stats0["nv"] or 0
         if broadcast_assign is None:
-            broadcast_assign = (stats0["nv"] or 0) <= broadcast_max_vertices
+            broadcast_assign = nv_seen <= broadcast_max_vertices
     # hub skew (use_salting above): the gather routes through a two-stage
     # salted aggregation when any vertex's neighbor list exceeds the
     # threshold (the DataFrame analogue of the reference's per-thread
@@ -661,10 +667,16 @@ def louvain_one_phase(
     # edge-scan e_xx, FTR's Q_AFG exit) and durable runs (run_dir: the
     # _METRICS.json sidecar must hold final numbers at write time) keep
     # the two-action flow. Chained cuts (lineage_cut_every > 1) compose
-    # with fusion: non-cut iterations persist the new assignment and fire
-    # the observations with a cache-materializing count — no parquet
-    # round-trip — and every Nth iteration commits through the runner to
-    # keep the plan tree bounded.
+    # with fusion: non-cut iterations localCheckpoint the new assignment
+    # (firing the observations) — no parquet round-trip — and every Nth
+    # iteration commits through the runner to keep the plan tree bounded.
+    # Chaining is NOT the default here: A/B at sf0.1 measured the
+    # localCheckpoint path ~3x slower than per-iteration parquet commits
+    # on this build (the non-adaptive df.rdd compile path), so
+    # lineage_cut_every=1 stays the default; the branch is kept because
+    # the economics differ per deployment (a real cluster with slow DFS
+    # favors chaining) and its output equivalence is pinned by
+    # tests/test_round2_fixes.py::test_lineage_cut_cadence_invariant.
     fuse_stats = run_dir is None and not early_terminate and ftr_phase is None
     for step in range(start, max_iters):
         num_itrs = step + 1
@@ -1028,10 +1040,15 @@ def louvain_one_phase(
         df_.unpersist()
     edges.unpersist()
     vdeg_full.unpersist()
-    prev_assign = promote_result(prev_assign)
+    # fallback_cut=True: if a future refactor hands a DERIVED plan (or a
+    # localCheckpoint-backed frame) to this point, the rename fast path
+    # silently not applying must degrade to an explicit result cut, not
+    # to a rotation-lifetime FAILED_READ_FILE (matches coloring/labelprop).
+    prev_assign = promote_result(prev_assign, fallback_cut=True)
     return LouvainPhaseResult(
         assignment=prev_assign.select("v", "comm"),
         modularity=prev_mod,
         iterations=num_itrs,
         two_m=two_m,
+        num_vertices=nv_seen,
     )

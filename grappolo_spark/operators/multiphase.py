@@ -58,7 +58,13 @@ def _aqe_off_for_small(spark, nv: int | None, threshold: int = 100_000):
     coarse phases (phase 1's input can be dense at small nv and keeps
     AQE's skew handling). The conf is restored even on error; results
     materialized inside (parquet commits) are unaffected by the
-    restore."""
+    restore.
+
+    The toggle is SESSION-GLOBAL: a concurrent query on the same
+    SparkSession during a gated window would also run without AQE.
+    Acceptable for the single-threaded bench/driver this repo targets;
+    scope via a cloned session (``spark.newSession()``) if concurrent
+    use ever arrives."""
     if nv is None or nv > threshold:
         yield
         return
@@ -242,9 +248,12 @@ def louvain(
         vf_map = vertex_following_map(g)  # (v, rep) with rep=-1 for isolated
         g = apply_vertex_following(g, vf_map)
 
-    # C_orig over the current graph's vertices (identity at phase 1)
+    # C_orig over the current graph's vertices (identity at phase 1).
+    # NOT cut: the identity is consumed exactly once, as the head of the
+    # end-of-run fold chain, so the single "result" cut at the bottom
+    # materializes it for free — a dedicated cut here was one full O(V)
+    # write+read job outside the phases for nothing.
     c_orig = g.vertex_ids().select("v", F.col("v").alias("comm"))
-    c_orig = cut_lineage(c_orig, tag="c_orig")
 
     prev_mod = -1.0
     curr_mod = -1.0
@@ -259,8 +268,19 @@ def louvain(
 
     while True:
         phase_t0 = time.time()
-        nv = prev_k if prev_k is not None else cur_g.num_vertices()
-        use_coloring = coloring and nv > min_graph_size
+        # phase 1's |V| is a distinct-count job over the full edge table;
+        # the plain path only needs it AFTER the phase (renumber size
+        # hint), and the kernel's own stats action counts vdeg rows anyway
+        # (res.num_vertices) — so the upfront count runs only when the
+        # coloring gate needs nv BEFORE the phase. Coarse phases get it
+        # free from the previous phase's cluster count.
+        if prev_k is not None:
+            nv = prev_k
+        elif coloring:
+            nv = cur_g.num_vertices()
+        else:
+            nv = None
+        use_coloring = coloring and nv is not None and nv > min_graph_size
         use_local = (
             not use_coloring
             and local_threshold > 0
@@ -341,12 +361,14 @@ def louvain(
             curr_mod = res.modularity
             tot_itr += res.iterations
 
+            if nv is None:
+                nv = res.num_vertices  # counted by the kernel's stats action
             # nv bounds the assignment's row count, selecting the
             # driver-side renumber for small (coarse) phases
             assign, num_clusters = renumber_contiguously(
                 res.assignment, size_hint=nv
             )
-        if nv > RENUMBER_SMALL_THRESHOLD:
+        if nv is None or nv > RENUMBER_SMALL_THRESHOLD:
             # distributed renumber → parquet-cut the assignment. keep_last
             # must outlive the whole run: the end-of-run fold reads every
             # phase's assignment parquet. (A persist would be cheaper on
