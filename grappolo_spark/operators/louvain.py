@@ -557,16 +557,6 @@ def louvain_one_phase(
     doubled to 1/m as in `parallelDirectedLouvainMethod.cpp:103-105`.
     """
     spark = g.edges.sparkSession
-    # hash-partition the edge table on the gather key ONCE: every superstep's
-    # edges-join-assignment then reuses the layout (no per-iteration edge
-    # shuffle; measured 1.8x on sf0.1). Tiny coarse phases pin a narrow
-    # partition count — the default spark.sql.shuffle.partitions would
-    # fan a ~1k-vertex graph back out to dozens of near-empty tasks per
-    # stage, and task scheduling (not data) is the phase cost there.
-    if nv_hint is not None and nv_hint <= 100_000:
-        edges = g.edges.repartition(4, "dst").persist()
-    else:
-        edges = g.edges.repartition("dst").persist()
     vdeg_full = g.degrees().persist()
     vdeg = vdeg_full.select("v", "deg")
     # one action yields 2m AND the max degree (hub detection for salting)
@@ -609,6 +599,29 @@ def louvain_one_phase(
         # directed modularity: constant = 1/m (reference doubles the
         # 1/sum(outDegree) constant, `parallelDirectedLouvainMethod.cpp:103-105`)
         const *= 2.0
+
+    # hash-partition the edge table ONCE on the key the supersteps reuse;
+    # every iteration then scans the persisted layout in place. The key
+    # depends on the gather strategy:
+    #   - broadcast gather (assignment small): the join side is broadcast,
+    #     so the layout that matters is the AGGREGATION key — the gather's
+    #     groupBy(v=src, cand) and the argmax's groupBy(v). src-partitioned
+    #     edges satisfy both (partitioning on a subset of the grouping keys
+    #     co-locates the groups), so the whole gather→counter→argmax chain
+    #     runs with ZERO exchanges per superstep (plan-asserted; dst layout
+    #     paid two O(E)-width shuffles per iteration here).
+    #   - shuffle gather (assignment too big to broadcast): co-partition on
+    #     the JOIN key dst so the O(E) side never moves per iteration; the
+    #     downstream aggs then shuffle on v as before.
+    # Tiny coarse phases pin a narrow partition count — the default
+    # spark.sql.shuffle.partitions would fan a ~1k-vertex graph back out to
+    # dozens of near-empty tasks per stage, and task scheduling (not data)
+    # is the phase cost there.
+    gather_key = "src" if broadcast_assign else "dst"
+    if nv_hint is not None and nv_hint <= 100_000:
+        edges = g.edges.repartition(4, gather_key).persist()
+    else:
+        edges = g.edges.repartition(gather_key).persist()
 
     selfw = (
         edges.filter(F.col("src") == F.col("dst"))
