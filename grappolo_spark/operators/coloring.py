@@ -226,11 +226,22 @@ def _class_best_moves(counter, state0, cinfo_cand, const: float):
     formula and the swap protection (vs the CURRENT COMMUNITY id,
     maxIndex > sc, `utilityClusteringFunctions.cpp:254-256`) run only on
     the O(movers) winners.
+
+    ``state0=None``/``cinfo_cand=None`` means the caller PRE-ENRICHED the
+    counter (it already carries comm/deg/selfloop/cdeg_cur/csize_cur and
+    ay/csize_cand — the small-state path attaches them in the gather so a
+    class job broadcasts TWO LocalRelations instead of four and skips the
+    post-aggregation joins entirely); all expressions from ``is_own`` on
+    are char-identical on both shapes, and the forced-distributed
+    equivalence test pins the bit parity.
     """
+    enriched = counter
+    if state0 is not None:
+        enriched = enriched.join(state0, "v")
+    if cinfo_cand is not None:
+        enriched = enriched.join(cinfo_cand, "cand")
     bestinfo = (
-        counter.join(state0, "v")
-        .join(cinfo_cand, "cand")
-        .withColumn("is_own", F.col("cand") == F.col("comm"))
+        enriched.withColumn("is_own", F.col("cand") == F.col("comm"))
         .withColumn(
             "score",
             F.col("wsum") - F.col("deg") * F.col("ay") * F.lit(const),
@@ -288,8 +299,16 @@ def _class_best_moves(counter, state0, cinfo_cand, const: float):
 _SMALL_STATE_MAX = 100_000
 
 
+# edge-row bound for holding a (src, dst, weight) copy on the driver in
+# small-state mode: ~4M rows ≈ 100 MB of numpy — the per-iteration
+# modularity e_xx then reduces in numpy instead of one full-scan Spark job
+# per iteration (the class jobs, the heavy side, stay in Spark)
+_SMALL_EDGES_MAX = 4_000_000
+
+
 def _colored_small_state(
-    spark, edges, pdf, classes, const, two_m, thresh, lower, max_iters
+    spark, edges, pdf, classes, const, two_m, thresh, lower, max_iters,
+    edges_np=None,
 ):
     """Colored Gauss-Seidel sweeps with driver-held community state.
 
@@ -316,6 +335,19 @@ def _colored_small_state(
     color = pdf["color"].to_numpy()
     pos = {int(v): i for i, v in enumerate(vs)}
 
+    # driver-held e_xx: map edge endpoints to state positions once; any
+    # endpoint outside the state (a vertex the coloring missed) falls back
+    # to the Spark scan — silent misindexing is never an option
+    si = di = ew = None
+    if edges_np is not None and len(vs):
+        es, ed, ew_ = edges_np
+        order = np.argsort(vs)
+        svs = vs[order]
+        is_ = np.searchsorted(svs, es).clip(max=len(svs) - 1)
+        id_ = np.searchsorted(svs, ed).clip(max=len(svs) - 1)
+        if bool((svs[is_] == es).all()) and bool((svs[id_] == ed).all()):
+            si, di, ew = order[is_], order[id_], ew_
+
     prev_mod = -1.0
     prev_comm = comm.copy()
     num_itrs = 0
@@ -328,17 +360,18 @@ def _colored_small_state(
             cu, inv = np.unique(comm, return_inverse=True)
             cdeg = np.bincount(inv, weights=deg)
             csize = np.bincount(inv).astype(np.int64)
-            movers = spark.createDataFrame(
-                pd.DataFrame({"src": vs[mask]}), "src long"
-            )
-            a_dst = spark.createDataFrame(
-                pd.DataFrame({"dst": vs, "comm_dst": comm}),
-                "dst long, comm_dst long",
-            )
-            state0 = spark.createDataFrame(
+            # TWO broadcast LocalRelations per class (was four: movers /
+            # a_dst / state0 / cinfo_cand). The mover state doubles as the
+            # src filter (inner join on src == mover v), and the dst side
+            # carries its community's (ay, csize_cand) inline, so the
+            # per-(v, cand) aggregation below can lift every per-v and
+            # per-cand constant via first() — no post-aggregation joins,
+            # roughly half the plan nodes per sequential class job (the
+            # class-job cost at small |V| is driver plan-compile, not data).
+            state_src = spark.createDataFrame(
                 pd.DataFrame(
                     {
-                        "v": vs[mask],
+                        "src": vs[mask],
                         "comm": comm[mask],
                         "deg": deg[mask],
                         "selfloop": selfloop[mask],
@@ -346,44 +379,62 @@ def _colored_small_state(
                         "csize_cur": csize[inv[mask]],
                     }
                 ),
-                "v long, comm long, deg double, selfloop double, "
+                "src long, comm long, deg double, selfloop double, "
                 "cdeg_cur double, csize_cur long",
             )
-            cinfo_cand = spark.createDataFrame(
-                pd.DataFrame({"cand": cu, "ay": cdeg, "csize_cand": csize}),
-                "cand long, ay double, csize_cand long",
+            dst_enr = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "dst": vs,
+                        "cand": comm,
+                        "ay": cdeg[inv],
+                        "csize_cand": csize[inv],
+                    }
+                ),
+                "dst long, cand long, ay double, csize_cand long",
             )
             counter = (
-                edges.join(F.broadcast(movers), "src")
-                .join(F.broadcast(a_dst), "dst")
-                .groupBy(
-                    F.col("src").alias("v"), F.col("comm_dst").alias("cand")
+                edges.join(F.broadcast(state_src), "src")
+                .join(F.broadcast(dst_enr), "dst")
+                .groupBy(F.col("src").alias("v"), F.col("cand"))
+                .agg(
+                    F.sum("weight").alias("wsum"),
+                    F.first("ay").alias("ay"),
+                    F.first("csize_cand").alias("csize_cand"),
+                    F.first("comm").alias("comm"),
+                    F.first("deg").alias("deg"),
+                    F.first("selfloop").alias("selfloop"),
+                    F.first("cdeg_cur").alias("cdeg_cur"),
+                    F.first("csize_cur").alias("csize_cur"),
                 )
-                .agg(F.sum("weight").alias("wsum"))
             )
-            best = _class_best_moves(
-                counter, F.broadcast(state0), F.broadcast(cinfo_cand), const
-            )
+            best = _class_best_moves(counter, None, None, const)
             for r in best.collect():
                 if not r["blocked"]:
                     comm[pos[r["v"]]] = r["cand"]
 
         # full-scan modularity after the sweep: e_xx from the edge table
         # (same expression as the distributed loop), a2_x in numpy
-        # (integer-exact sum of squared community degrees)
-        a_src = spark.createDataFrame(
-            pd.DataFrame({"src": vs, "cs": comm}), "src long, cs long"
-        )
-        a_dst2 = spark.createDataFrame(
-            pd.DataFrame({"dst": vs, "cd": comm}), "dst long, cd long"
-        )
-        e_xx = (
-            edges.join(F.broadcast(a_src), "src")
-            .join(F.broadcast(a_dst2), "dst")
-            .filter(F.col("cs") == F.col("cd"))
-            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
-            .collect()[0]["e_xx"]
-        )
+        # (integer-exact sum of squared community degrees). With a
+        # driver-held edge copy (si/di set) the e_xx reduction is one numpy
+        # mask-sum — exact for integer-valued weights, the same argument
+        # that puts a2_x in numpy — instead of a Spark job per iteration.
+        if si is not None:
+            e_xx = float(ew[comm[si] == comm[di]].sum()) if len(ew) else 0.0
+        else:
+            a_src = spark.createDataFrame(
+                pd.DataFrame({"src": vs, "cs": comm}), "src long, cs long"
+            )
+            a_dst2 = spark.createDataFrame(
+                pd.DataFrame({"dst": vs, "cd": comm}), "dst long, cd long"
+            )
+            e_xx = (
+                edges.join(F.broadcast(a_src), "src")
+                .join(F.broadcast(a_dst2), "dst")
+                .filter(F.col("cs") == F.col("cd"))
+                .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))
+                .collect()[0]["e_xx"]
+            )
         cu, inv = np.unique(comm, return_inverse=True)
         cdeg = np.bincount(inv, weights=deg)
         a2_x = float((cdeg * cdeg).sum())
@@ -413,8 +464,19 @@ def louvain_one_phase_colored(
     coloring_algo: str = "auto",
     colors: DataFrame | None = None,
     run_dir: str | None = None,
+    nv_hint: int | None = None,
 ) -> LouvainPhaseResult:
     """One Louvain level, sweeping color classes sequentially.
+
+    ``nv_hint`` (the caller's vertex count, free from the coloring gate in
+    the multiphase driver) picks the edge layout upfront: at or below
+    ``_SMALL_STATE_MAX`` the sweep will take the driver-held-state path
+    whose gather broadcasts both O(V) sides, so the layout that matters is
+    the AGGREGATION key ``src`` (zero exchange per class job) and a few
+    fat partitions beat ``spark.sql.shuffle.partitions`` near-empty tasks
+    — the same reasoning as the plain kernel's broadcast gather. Without a
+    hint, or above the bound, the distributed loop's shuffle-join key
+    ``dst`` is kept.
 
     Same gain/tie-break/swap math as the plain kernel; community info is
     refreshed after each color class, so vertices in later classes see
@@ -472,9 +534,19 @@ def louvain_one_phase_colored(
     else:
         classes = all_colors
 
-    edges = g.edges.repartition("dst").persist()
+    small_hint = nv_hint is not None and nv_hint <= _SMALL_STATE_MAX
+    gather_key = "src" if small_hint else "dst"
+    if small_hint:
+        edges = g.edges.repartition(4, gather_key).persist()
+    else:
+        edges = g.edges.repartition(gather_key).persist()
     vdeg = g.degrees().select("v", "deg").persist()
-    two_m = edges.agg(F.sum("weight")).collect()[0][0] or 0.0
+    # one action: 2m AND the edge-row count (the driver-held e_xx bound)
+    row0 = edges.agg(
+        F.sum("weight").alias("tw"), F.count(F.lit(1)).alias("ne")
+    ).collect()[0]
+    two_m = row0["tw"] or 0.0
+    n_edge_rows = row0["ne"] or 0
     if two_m == 0.0:
         empty = spark.createDataFrame([], "v long, comm long")
         return LouvainPhaseResult(empty, 0.0, 0)
@@ -504,9 +576,19 @@ def louvain_one_phase_colored(
     probe = state.limit(_SMALL_STATE_MAX + 1).toPandas()
     if len(probe) <= _SMALL_STATE_MAX:
         vdeg.unpersist()
+        edges_np = None
+        if n_edge_rows <= _SMALL_EDGES_MAX:
+            import numpy as np
+
+            epdf = edges.select("src", "dst", "weight").toPandas()
+            edges_np = (
+                epdf["src"].to_numpy(np.int64),
+                epdf["dst"].to_numpy(np.int64),
+                epdf["weight"].to_numpy(np.float64),
+            )
         res = _colored_small_state(
             spark, edges, probe, classes, const, two_m, thresh, lower,
-            max_iters,
+            max_iters, edges_np=edges_np,
         )
         edges.unpersist()
         return res

@@ -332,6 +332,10 @@ def louvain(
                     num_colors_cap=num_colors_cap,
                     coloring_algo=coloring_algo,
                     run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
+                    # nv is known here (the coloring gate counted it):
+                    # lets the kernel pick the src-keyed narrow layout for
+                    # the small-state broadcast gather upfront
+                    nv_hint=nv,
                 )
             else:
                 res = louvain_one_phase(
