@@ -65,3 +65,62 @@ def test_louvain_forced_distributed_matches_local(spark):
     a = {r["v"]: r["comm"] for r in dist.assignment.collect()}
     b = {r["v"]: r["comm"] for r in loc.assignment.collect()}
     assert a == b
+
+
+def test_d1_coloring_histogram_golden(spark):
+    """Golden-pin the distance-one coloring's class histogram (VERDICT r4 #4).
+
+    The d1 coloring is fully deterministic given its xxhash64 tie-break
+    stream (verified stable across local[4]/local[16] and shuffle
+    partition counts), so the histogram is value-checkable: a tie-break
+    regression would reshape the color classes while the emptiness oracle
+    ``coloring_valid`` stayed green. Two fixtures pin the stream; the
+    driver's rows-only ``coloring_histogram`` query (parts graph) keeps
+    running beside this.
+    """
+    from grappolo_spark.operators.coloring import (
+        color_histogram,
+        distance_one_coloring,
+    )
+    from grappolo_spark.sources.fixtures import grid3d, karate
+
+    got = sorted(
+        (r.color, r.size)
+        for r in color_histogram(distance_one_coloring(karate(spark))).collect()
+    )
+    assert got == [(0, 18), (1, 6), (2, 5), (3, 2), (4, 3)]
+
+    got = sorted(
+        (r.color, r.size)
+        for r in color_histogram(
+            distance_one_coloring(grid3d(spark, 4, 4, 4))
+        ).collect()
+    )
+    assert got == [(0, 24), (1, 24), (2, 12), (3, 4)]
+
+
+def test_d1_coloring_histogram_golden_parts_sf0001(spark):
+    """The exact histogram the driver's rows-only query measures, pinned at
+    sf0.001 (same parts graph construction as __spark_entry__)."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as M
+    from grappolo_spark.operators.coloring import (
+        color_histogram,
+        distance_one_coloring,
+    )
+
+    g = M.build_parts_graph(spark, sf)
+    got = sorted(
+        (r.color, r.size)
+        for r in color_histogram(distance_one_coloring(g)).collect()
+    )
+    assert got == [
+        (0, 31), (1, 28), (2, 25), (3, 19), (4, 18), (5, 18), (6, 17),
+        (7, 10), (8, 12), (9, 9), (10, 5), (11, 5), (12, 3),
+    ]
