@@ -119,6 +119,28 @@ def _batch_topk(
     )
 
 
+def _np_dtype(dtype: str):
+    """Scoring dtype for the brute-force kernels.
+
+    ``"float64"`` (default) is the oracle path: bit-identical to the HOF
+    kernel in similarity.py. ``"float32"`` halves DRAM traffic and
+    broadcast size — the regime a shared memory bus actually scales in
+    (the round-4 weak-scaling measurements were bandwidth-limited) — at
+    the cost of ~1e-6-grade cosine drift: a 128-dim float32 dot carries
+    relative error O(sqrt(dim))*eps_f32 ≈ 1e-6, so after the 6dp rounding
+    most pairs are identical and near-tie pairs may differ by one 1e-6
+    grid step (occasionally reordering neighbors whose true cosines tie
+    at that grid). Parity/recall is pinned by
+    tests/test_similarity_fast.py; keep float64 anywhere results feed an
+    exact-match oracle.
+    """
+    if dtype == "float32":
+        return np.float32
+    if dtype == "float64":
+        return np.float64
+    raise ValueError(f"dtype must be 'float64' or 'float32', got {dtype!r}")
+
+
 def _guard_collect_side(df: DataFrame, side: str, limit: int, alternatives: str) -> None:
     """Raise before collecting an unexpectedly large broadcast side.
 
@@ -143,12 +165,17 @@ def cosine_topk_np(
     queries: DataFrame | None = None,
     max_collect_rows: int = MAX_COLLECT_ROWS,
     block_elems: int = BLOCK_ELEMS,
+    dtype: str = "float64",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine): exact top-k, numpy-batched.
 
     Matches similarity.cosine_topk bit-for-bit: double-precision dot/norms,
     cosine rounded to 6dp BEFORE ranking, ties by neighbor id.
+    ``dtype="float32"`` opts into the half-bandwidth scoring tier
+    (:func:`_np_dtype` — ~1e-6 cosine drift, float64 stays the default
+    and the oracle path).
     """
+    ftype = _np_dtype(dtype)
     spark = df.sparkSession
     _guard_collect_side(
         df.select(id_col), "corpus", max_collect_rows,
@@ -160,8 +187,8 @@ def cosine_topk_np(
             [], "query_id long, neighbor_id long, cosine double"
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
+    mat = np.array([r[1] for r in rows], dtype=ftype)
+    norms = np.sqrt((mat * mat).sum(axis=1, dtype=ftype)).astype(ftype)
     bc = spark.sparkContext.broadcast((ids, mat, norms))
 
     q = (queries if queries is not None else df).select(id_col, vec_col)
@@ -170,10 +197,10 @@ def cosine_topk_np(
         b_ids, b_mat, b_norms = bc.value
         for b in batches:
             qids = b[id_col].to_numpy(dtype=np.int64)
-            qmat = np.array(list(b[vec_col]), dtype=np.float64)
+            qmat = np.array(list(b[vec_col]), dtype=ftype)
             if qmat.size == 0:
                 continue
-            qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+            qnorms = np.sqrt((qmat * qmat).sum(axis=1, dtype=ftype)).astype(ftype)
             # block the CORPUS axis so the score matrix stays ~32 MB per
             # task (a 10k-query Arrow batch against the 1M-row broadcast
             # bound would otherwise materialize an 80 GB matrix); the
@@ -189,6 +216,10 @@ def cosine_topk_np(
                 np.divide(
                     cos, np.outer(qnorms, b_norms[lo:hi]), out=cos
                 )
+                if cos.dtype != np.float64:
+                    # float32 tier: score in f32 (the bandwidth win), but
+                    # round/rank/emit on the f64 grid the schema declares
+                    cos = cos.astype(np.float64)
                 np.round(cos, 6, out=cos)
                 parts.append(_batch_topk(cos, qids, b_ids[lo:hi], k))
             if not parts:  # empty corpus: no candidate rows for this batch
@@ -218,9 +249,12 @@ def cosine_topk_sharded(
     queries: DataFrame | None = None,
     max_collect_rows: int = MAX_COLLECT_ROWS,
     block_elems: int = BLOCK_ELEMS,
+    dtype: str = "float64",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine): exact top-k with a distributed
-    corpus scan — the scale path.
+    corpus scan — the scale path. ``dtype="float32"`` opts into the
+    half-bandwidth scoring tier (:func:`_np_dtype`; float64 stays the
+    default and the oracle path).
 
     Queries are collected and broadcast — and that bound is ENFORCED: the
     query side is counted first and a query set above ``max_collect_rows``
@@ -243,19 +277,20 @@ def cosine_topk_sharded(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double"
         )
+    ftype = _np_dtype(dtype)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    qmat = np.array([r[1] for r in q_rows], dtype=ftype)
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1, dtype=ftype)).astype(ftype)
     bc = spark.sparkContext.broadcast((qids, qmat, qnorms))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_qids, b_qmat, b_qnorms = bc.value
         for b in batches:
             cids = b[id_col].to_numpy(dtype=np.int64)
-            cmat = np.array(list(b[vec_col]), dtype=np.float64)
+            cmat = np.array(list(b[vec_col]), dtype=ftype)
             if cmat.size == 0:
                 continue
-            cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+            cnorms = np.sqrt((cmat * cmat).sum(axis=1, dtype=ftype)).astype(ftype)
             # block the QUERY axis so per-task temporaries stay ~32 MB
             # (cos chunk + outer-norm chunk) no matter how many queries
             # broadcast: an unblocked |Q| x batch score matrix is
@@ -272,6 +307,9 @@ def cosine_topk_sharded(
                 np.divide(
                     cos, np.outer(b_qnorms[lo:hi], cnorms), out=cos
                 )
+                if cos.dtype != np.float64:
+                    # float32 tier: f32 matmul/divide, f64 round/rank/emit
+                    cos = cos.astype(np.float64)
                 np.round(cos, 6, out=cos)
                 yield _batch_topk(cos, b_qids[lo:hi], cids, k)
 
