@@ -629,7 +629,16 @@ def louvain_one_phase(
         .agg(F.sum("weight").alias("selfloop"))
     )
 
-    runner = SuperstepRunner(spark, run_dir)
+    # with the broadcast gather OFF (billion-vertex assignments) the state
+    # table is consumed by several v-keyed joins/aggs per superstep: commit
+    # it BUCKETED by v at the loop's shuffle parallelism, so consumers read
+    # it pre-partitioned instead of re-shuffling O(V) rows each iteration
+    # (plan-asserted by test_bucketed_state_cut_skips_shuffle)
+    runner = SuperstepRunner(
+        spark, run_dir,
+        bucket_by=None if broadcast_assign else "v",
+        n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     start, resumed = runner.resume()
     if resumed is not None:
         assign = resumed
@@ -659,7 +668,10 @@ def louvain_one_phase(
         # already-parquet-backed coarse graph inside ONE job), which costs
         # less than a dedicated write+read job at that size.
         if not (nv_hint is not None and nv_hint <= broadcast_max_vertices):
-            assign = cut_lineage(assign, tag="louvain_assign")
+            assign = cut_lineage(
+                assign, tag="louvain_assign",
+                bucket_by=runner.bucket_by, n_buckets=runner.n_buckets,
+            )
         prev_assign = assign
         prev_mod = -1.0
 

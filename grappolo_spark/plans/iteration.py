@@ -92,7 +92,25 @@ def truncate_plan(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def cut_lineage(df: DataFrame, tag: str = "step", keep_last: int = 6) -> DataFrame:
+def _gc_step(spark: SparkSession, st: dict, path: str) -> None:
+    """Delete one rotated-out step: drop its catalog table (bucketed cuts
+    register one) and remove the files."""
+    table = st.get("tables", {}).pop(path, None)
+    if table is not None:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        except Exception:
+            pass  # session shutting down: the rmtree still reclaims disk
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def cut_lineage(
+    df: DataFrame,
+    tag: str = "step",
+    keep_last: int = 6,
+    bucket_by: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
     """Truncate lineage by a parquet round-trip through a scratch dir.
 
     Why not ``localCheckpoint``: in long superstep loops its execution time
@@ -103,24 +121,51 @@ def cut_lineage(df: DataFrame, tag: str = "step", keep_last: int = 6) -> DataFra
     north_rule's resumability requires. Old step files are GC'd, keeping the
     last ``keep_last`` per tag (callers may hold a reference one or two steps
     back, e.g. Louvain's previous-iteration assignment).
+
+    ``bucket_by`` writes the cut BUCKETED (external table in the scratch
+    dir, ``bucketBy(n_buckets, col) + sortBy``, read back via the catalog so
+    the scan carries ``hashpartitioning(col, n_buckets)``): the iterative
+    kernels' state tables are consumed 4-6 times per superstep by joins and
+    aggregations keyed on ``v``, and with the broadcast path off each
+    consumer re-shuffled the O(V) state every iteration — bucketing pays
+    ONE exchange at write time (the explicit repartition below, which also
+    yields exactly one file per bucket) and zero at the consumers, the same
+    trade :func:`grappolo_spark.sources.writers.write_bucketed_edges` makes
+    durable for edges. Pick ``n_buckets`` = the superstep loop's shuffle
+    partition count so co-partitioned joins line up. Bucketed cuts are NOT
+    rename-promotable (the catalog entry pins the path) — callers that
+    return one go through ``promote_result(fallback_cut=True)``'s re-cut.
     """
     spark = df.sparkSession
     key = _scratch_root(spark)
     st = _SCRATCH[key]
     st["n"] += 1
     path = os.path.join(st["root"], f"{tag}-{st['n']:06d}")
-    df.write.mode("overwrite").parquet(path)
-    # supply the known schema: an inferred read pays a footer-read job per
-    # cut — pure driver-latency at one cut per superstep (measured ~0.3s
-    # wall each on the forced-distributed multiphase profile)
-    out = spark.read.schema(df.schema).parquet(path)
-    # breadcrumb for promote_result: which rotation owns this DF's files
-    out._grappolo_scratch = (key, tag, path)
+    if bucket_by is not None:
+        table = f"grappolo_{tag}_{st['n']:06d}".replace("-", "_")
+        (
+            df.repartition(n_buckets, bucket_by)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_by)
+            .sortBy(bucket_by)
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        out = spark.table(table)
+        st.setdefault("tables", {})[path] = table
+    else:
+        df.write.mode("overwrite").parquet(path)
+        # supply the known schema: an inferred read pays a footer-read job
+        # per cut — pure driver-latency at one cut per superstep (measured
+        # ~0.3s wall each on the forced-distributed multiphase profile)
+        out = spark.read.schema(df.schema).parquet(path)
+        # breadcrumb for promote_result: which rotation owns this DF's files
+        out._grappolo_scratch = (key, tag, path)
     q = st["tags"].setdefault(tag, deque())
     q.append(path)
     while len(q) > keep_last:
-        old = q.popleft()
-        shutil.rmtree(old, ignore_errors=True)
+        _gc_step(spark, st, q.popleft())
     return out
 
 
@@ -174,7 +219,7 @@ def promote_result(
     rq = st["tags"].setdefault("result", deque())
     rq.append(new_path)
     while len(rq) > keep_last:
-        shutil.rmtree(rq.popleft(), ignore_errors=True)
+        _gc_step(spark, st, rq.popleft())
     return out
 
 
@@ -196,11 +241,18 @@ class SuperstepRunner:
         run_dir: str | None = None,
         every: int = 1,
         reliable: bool = False,
+        bucket_by: str | None = None,
+        n_buckets: int = 32,
     ):
         self.spark = spark
         self.run_dir = run_dir
         self.every = max(1, every)
         self.reliable = reliable
+        # bucketed scratch commits (see cut_lineage): the big-graph kernels
+        # set bucket_by="v" when the broadcast gather is off, so every
+        # consumer of the committed state reads it pre-partitioned
+        self.bucket_by = bucket_by
+        self.n_buckets = n_buckets
         self.history: list[dict] = []
         if run_dir:
             os.makedirs(run_dir, exist_ok=True)
@@ -251,4 +303,7 @@ class SuperstepRunner:
                     f,
                 )
             return state
-        return cut_lineage(state, tag="commit")
+        return cut_lineage(
+            state, tag="commit",
+            bucket_by=self.bucket_by, n_buckets=self.n_buckets,
+        )

@@ -124,3 +124,73 @@ def test_d1_coloring_histogram_golden_parts_sf0001(spark):
         (0, 31), (1, 28), (2, 25), (3, 19), (4, 18), (5, 18), (6, 17),
         (7, 10), (8, 12), (9, 9), (10, 5), (11, 5), (12, 3),
     ]
+
+
+def test_bucketed_state_cut_skips_shuffle(spark):
+    """A cut_lineage(bucket_by="v") state table read back through the
+    catalog carries hashpartitioning(v, n): a co-partitioned join against
+    an edge table repartitioned on the same key plans with exactly ONE
+    exchange (the edges' own repartition) — the O(V) state side never
+    moves. This is the per-iteration analogue of
+    test_bucketed_edge_table_skips_shuffle (round 4, durable edges)."""
+    from grappolo_spark.plans.iteration import cut_lineage
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        state = spark.range(1000).select(
+            F.col("id").alias("v"), (F.col("id") % 7).alias("comm")
+        )
+        cut = cut_lineage(state, tag="t5bucket", bucket_by="v", n_buckets=n)
+        edges = spark.range(5000).select(
+            (F.col("id") % 97).alias("src"),
+            (F.col("id") % 89).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).repartition(n, "dst")
+        a_dst = cut.select(
+            F.col("v").alias("dst"), F.col("comm").alias("comm_dst")
+        )
+        plan = (
+            edges.join(a_dst, "dst")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # and the rows survive the round-trip
+        assert cut.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_state_rotation_drops_tables(spark):
+    """Rotated-out bucketed cuts must drop their catalog tables, not just
+    their files — a leaked external table over a deleted path poisons a
+    later identically-named write."""
+    from grappolo_spark.plans.iteration import cut_lineage
+
+    names = []
+    for i in range(4):
+        d = spark.range(10 + i).select(F.col("id").alias("v"))
+        cut = cut_lineage(d, tag="t5rot", keep_last=2, bucket_by="v", n_buckets=2)
+        # the catalog table backing this cut
+        names.append(
+            [t.name for t in spark.catalog.listTables() if "t5rot" in t.name]
+        )
+    live = [t.name for t in spark.catalog.listTables() if "t5rot" in t.name]
+    assert len(live) == 2, live  # keep_last=2
+
+
+def test_louvain_bucketed_shuffle_path_matches_broadcast(spark):
+    """Forced shuffle-gather (broadcast_assign=False => bucketed state
+    commits) must be bit-identical to the broadcast path."""
+    from grappolo_spark.operators.louvain import louvain_one_phase
+    from grappolo_spark.sources.fixtures import karate
+
+    g = karate(spark)
+    a = louvain_one_phase(g)
+    b = louvain_one_phase(g, broadcast_assign=False)
+    assert a.modularity == b.modularity
+    assert a.iterations == b.iterations
+    ra = {(r.v, r.comm) for r in a.assignment.collect()}
+    rb = {(r.v, r.comm) for r in b.assignment.collect()}
+    assert ra == rb
