@@ -592,7 +592,12 @@ def louvain_one_phase_colored(
         )
         edges.unpersist()
         return res
-    state = cut_lineage(state, tag="colored_state")
+    # distributed branch (>100k state rows): bucket the per-class state
+    # cuts by v, so the gather's a_dst join and the winner-application
+    # join read the O(V) state pre-partitioned each sub-sweep (same trade
+    # as the plain kernel's bucketed commits; one exchange at write time)
+    _nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    state = cut_lineage(state, tag="colored_state", bucket_by="v", n_buckets=_nb)
 
     prev_mod = -1.0
     prev_assign = state.select("v", "comm")
@@ -641,7 +646,9 @@ def louvain_one_phase_colored(
                     "deg", "selfloop", "color",
                 )
             )
-            state = cut_lineage(state, tag="colored_state")
+            state = cut_lineage(
+                state, tag="colored_state", bucket_by="v", n_buckets=_nb
+            )
         assign = state.select("v", "comm")
 
         # full-scan modularity after the sweep (`parallelLouvainWithColoring.cpp:230-246`)

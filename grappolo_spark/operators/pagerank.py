@@ -73,14 +73,25 @@ def pagerank(
         # join key), and an already-partitioned cache is reused shuffle-free
         edges = g.edges.persist()
 
-    runner = SuperstepRunner(spark, run_dir)
+    # shuffle config (rank table too big to broadcast): commit the rank
+    # state BUCKETED by v so the per-superstep edges(src)⋈ranks(v) join
+    # reads the O(V) side pre-partitioned — one exchange at the commit
+    # write replaces one per superstep (see cut_lineage's bucket_by)
+    runner = SuperstepRunner(
+        spark, run_dir,
+        bucket_by=None if broadcast_ranks else "v",
+        n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     start, resumed = runner.resume()
     if resumed is not None:
         ranks = resumed
     else:
         ranks = base.select("v", F.lit(1.0 / n).alias("rank"), "wout")
         start = 0
-    ranks = cut_lineage(ranks, tag="pagerank")
+    ranks = cut_lineage(
+        ranks, tag="pagerank",
+        bucket_by=runner.bucket_by, n_buckets=runner.n_buckets,
+    )
 
     # symmetrized graphs have no dangling vertices: check once, not per
     # superstep (saves one Spark job per iteration)
@@ -137,8 +148,11 @@ def pagerank(
     # every loop path ends on a committed (rotation-backed) ranks table —
     # the commit condition includes step == max_iters - 1 — so this is a
     # rename, not a re-write; a durable run_dir commit passes through and
-    # stays backed by its own run directory
-    out = promote_result(ranks).select("v", "rank")
+    # stays backed by its own run directory. fallback_cut=True matches the
+    # other kernels: if a future refactor (or max_iters=0 with an uncut
+    # init) hands a derived plan here, it degrades to an explicit result
+    # cut instead of a rotation-lifetime FAILED_READ_FILE.
+    out = promote_result(ranks, fallback_cut=True).select("v", "rank")
     base.unpersist()
     edges.unpersist()
     return out
