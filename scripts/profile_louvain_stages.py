@@ -41,7 +41,17 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--driver-mem",
+        default="8g",
+        help="JVM heap; 'auto' = 2g/core (executor-faithful: a 4N cluster "
+        "brings 4x memory with its 4x cores). 8g reproduces the early "
+        "round-5 profile.",
+    )
     args = ap.parse_args()
+    if args.driver_mem == "auto":
+        args.driver_mem = f"{2 * args.cpus}g"
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.driver_mem
 
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ[var] = "1"
@@ -133,6 +143,8 @@ def main() -> int:
             "input_mb": round((s.get("inputBytes") or 0) / 1e6, 1),
             "sh_read_mb": round((s.get("shuffleReadBytes") or 0) / 1e6, 1),
             "sh_write_mb": round((s.get("shuffleWriteBytes") or 0) / 1e6, 1),
+            "spill_mem_mb": round((s.get("memoryBytesSpilled") or 0) / 1e6, 1),
+            "spill_disk_mb": round((s.get("diskBytesSpilled") or 0) / 1e6, 1),
         }
         for s in stages[:15]
     ]

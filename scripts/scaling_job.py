@@ -38,7 +38,22 @@ def main() -> int:
     )
     ap.add_argument("--ann-rows", type=int, default=6000)
     ap.add_argument("--ann-dim", type=int, default=128)
+    ap.add_argument(
+        "--driver-mem",
+        default="8g",
+        help="JVM heap for this leg. The north rule compares N vs 4N "
+        "EXECUTORS — a 4N cluster brings 4x the memory as well as 4x the "
+        "cores — so an executor-faithful pair passes memory proportional "
+        "to --cpus (e.g. 2g/core: 16g at 8, 64g at 32). 'auto' = 2g/core. "
+        "The fixed-8g default reproduces the round-3/4/early-5 protocol, "
+        "where the 4N leg ran 4x the data in the SAME heap (weak pair) — "
+        "i.e. with 1/4 the per-core memory a real 4N cluster would have.",
+    )
     args = ap.parse_args()
+    if args.driver_mem == "auto":
+        args.driver_mem = f"{2 * args.cpus}g"
+    # the heap must be set before the JVM launches; get_spark reads this env
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.driver_mem
 
     # pin per-task BLAS to one thread BEFORE numpy loads anywhere: a
     # multi-threaded BLAS would let the "2-core" run borrow idle cores
