@@ -60,12 +60,11 @@ def build_parts_graph(spark: SparkSession, sf_dir: str) -> Graph:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
-        .select(
-            F.col("u").alias("src"),
-            F.col("v").alias("dst"),
-            F.lit(1.0).alias("weight"),
-        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
+    # no weight column: canonical_edges fills weight=1.0 and the Graph
+    # carries unweighted=True, so the iterative operators take their
+    # narrow count-aggregated gathers (exactly equal results)
     return Graph.from_edgelist(pairs)
 
 

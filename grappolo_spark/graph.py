@@ -125,6 +125,15 @@ class Graph:
     edges: DataFrame
     vertices: DataFrame | None = None
     directed: bool = False
+    # weight ≡ 1.0 on every row BY CONSTRUCTION (the source had no weight
+    # column, so canonical_edges filled the literal). Iterative operators
+    # use it to drop the 8-byte weight column from their per-superstep
+    # gathers and aggregate with count(*) instead of sum(weight) — exact
+    # (integer counts ≤ 2^53 are exact doubles), and narrower rows through
+    # the hot exchange-free gather stage, which the round-5 stage profile
+    # showed is per-row-width bound (73% of kernel CPU, zero shuffle).
+    # Conservative default: False whenever weights might be real.
+    unweighted: bool = False
     _cached: list = field(default_factory=list, repr=False)
 
     # -- constructors -------------------------------------------------
@@ -139,19 +148,25 @@ class Graph:
         vertices: DataFrame | None = None,
     ) -> "Graph":
         e = canonical_edges(df, src, dst, weight, symmetrize=not directed)
-        return cls(edges=e, vertices=vertices, directed=directed)
+        unw = weight is None or weight not in df.columns
+        return cls(edges=e, vertices=vertices, directed=directed, unweighted=unw)
 
     @classmethod
     def from_pairs(cls, spark: SparkSession, pairs, weights=None) -> "Graph":
         """Tiny-fixture helper: build from a python list of (u, v[, w])."""
         rows = []
+        unw = True
         for p in pairs:
             if len(p) == 3:
                 rows.append((int(p[0]), int(p[1]), float(p[2])))
+                if float(p[2]) != 1.0:
+                    unw = False
             else:
                 rows.append((int(p[0]), int(p[1]), 1.0))
         df = spark.createDataFrame(rows, schema=EDGE_SCHEMA)
-        return cls.from_edgelist(df)
+        g = cls.from_edgelist(df)
+        g.unweighted = unw
+        return g
 
     # -- basic derived tables -----------------------------------------
     def vertex_ids(self) -> DataFrame:
@@ -269,7 +284,12 @@ class Graph:
             else self.edges.repartition("src")
         )
         e = e.persist()
-        g = Graph(edges=e, vertices=self.vertices, directed=self.directed)
+        g = Graph(
+            edges=e,
+            vertices=self.vertices,
+            directed=self.directed,
+            unweighted=self.unweighted,
+        )
         g._cached.append(e)
         return g
 

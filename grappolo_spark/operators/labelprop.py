@@ -92,7 +92,12 @@ def label_propagation(
         )
         return cut_lineage(out, tag="result", keep_last=64)
 
-    pairs = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "weight")
+    # weight ≡ 1.0 invariant (Graph.unweighted): persist only (src, dst)
+    # and count rows per label instead of summing doubles — identical
+    # winners (integer counts are exact doubles, same tie-break struct)
+    unweighted = bool(getattr(g, "unweighted", False))
+    pair_cols = ["src", "dst"] if unweighted else ["src", "dst", "weight"]
+    pairs = g.edges.filter(F.col("src") != F.col("dst")).select(*pair_cols)
     pairs = pairs.repartition("dst").persist()
 
     runner = SuperstepRunner(spark, run_dir)
@@ -108,7 +113,11 @@ def label_propagation(
         freq = (
             pairs.join(labels, pairs.dst == labels.v)
             .groupBy(F.col("src").alias("vv"), "label")
-            .agg(F.sum("weight").alias("w"))
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("w")
+                if unweighted
+                else F.sum("weight").alias("w")
+            )
         )
         # argmax by weight, tie -> min label: max_by over struct(w, -label)
         best = freq.groupBy("vv").agg(

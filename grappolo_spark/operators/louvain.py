@@ -557,6 +557,9 @@ def louvain_one_phase(
     doubled to 1/m as in `parallelDirectedLouvainMethod.cpp:103-105`.
     """
     spark = g.edges.sparkSession
+    # weight ≡ 1.0 invariant (see Graph.unweighted): lets the hot gather
+    # drop the weight column and count instead of sum — exactly equal
+    unweighted = bool(getattr(g, "unweighted", False))
     vdeg_full = g.degrees().persist()
     vdeg = vdeg_full.select("v", "deg")
     # one action yields 2m AND the max degree (hub detection for salting)
@@ -746,17 +749,30 @@ def louvain_one_phase(
         # broadcast the O(V) assignment below the vertex threshold: the
         # persisted O(E) side is scanned in place — no exchange, no sort
         a_dst_side = F.broadcast(a_dst) if broadcast_assign else a_dst
-        gathered = gather_edges.join(a_dst_side, "dst").select(
-            F.col("src").alias("v"), F.col("comm_dst").alias("cand"), "weight"
-        )
-        if use_salting:
-            from grappolo_spark.plans.salting import salted_sum
-
-            counter = salted_sum(gathered, ["v", "cand"], "weight", out="wsum")
-        else:
-            counter = gathered.groupBy("v", "cand").agg(
-                F.sum("weight").alias("wsum")
+        if unweighted and not use_salting:
+            # weight ≡ 1.0 by construction (Graph.unweighted): drop the
+            # 8-byte weight column from the hot gather entirely and count
+            # rows instead of summing doubles — exact (integer counts are
+            # exact doubles) and one column narrower through the fused
+            # stage that the round-5 profile showed is width-bound
+            gathered = gather_edges.join(a_dst_side, "dst").select(
+                F.col("src").alias("v"), F.col("comm_dst").alias("cand")
             )
+            counter = gathered.groupBy("v", "cand").agg(
+                F.count(F.lit(1)).cast("double").alias("wsum")
+            )
+        else:
+            gathered = gather_edges.join(a_dst_side, "dst").select(
+                F.col("src").alias("v"), F.col("comm_dst").alias("cand"), "weight"
+            )
+            if use_salting:
+                from grappolo_spark.plans.salting import salted_sum
+
+                counter = salted_sum(gathered, ["v", "cand"], "weight", out="wsum")
+            else:
+                counter = gathered.groupBy("v", "cand").agg(
+                    F.sum("weight").alias("wsum")
+                )
 
         # --- single-pass best candidate + own-community weight -------------
         # The argmax does NOT need eix/ax: they shift every candidate's gain

@@ -64,14 +64,21 @@ def pagerank(
         "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
     )
     base = base.persist()
+    # weight ≡ 1.0 invariant (Graph.unweighted): the superstep cache keeps
+    # only (src, dst) — one third less cached/scanned width per superstep —
+    # and the contribution skips the weight multiply (x·1.0 ≡ x, so the
+    # ranks are bit-identical to the weighted plan on the same graph)
+    unweighted = bool(getattr(g, "unweighted", False))
+    e_loop = g.edges.select("src", "dst") if unweighted else g.edges
     if broadcast_ranks:
         # partition on the AGGREGATION key: with the join side broadcast,
         # groupBy(dst) then needs no exchange at all
-        edges = g.edges.repartition("dst").persist()
+        edges = e_loop.repartition("dst").persist()
     else:
         # persist as-is: callers co-locate via Graph.partition_by_src (the
-        # join key), and an already-partitioned cache is reused shuffle-free
-        edges = g.edges.persist()
+        # join key; a projection preserves that partitioning), and an
+        # already-partitioned cache is reused shuffle-free
+        edges = e_loop.persist()
 
     # shuffle config (rank table too big to broadcast): commit the rank
     # state BUCKETED by v so the per-superstep edges(src)⋈ranks(v) join
@@ -105,12 +112,14 @@ def pagerank(
                 or 0.0
             )
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib_c = (
+            (F.col("rank") / F.col("wout"))
+            if unweighted
+            else (F.col("rank") * F.col("weight") / F.col("wout"))
+        )
         contribs = (
             edges.join(rank_side, edges.src == ranks.v)
-            .select(
-                F.col("dst").alias("v"),
-                (F.col("rank") * F.col("weight") / F.col("wout")).alias("c"),
-            )
+            .select(F.col("dst").alias("v"), contrib_c.alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("in_contrib"))
         )

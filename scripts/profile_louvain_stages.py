@@ -82,14 +82,13 @@ def main() -> int:
         .select(
             (F.pmod(F.xxhash64("id", F.lit(args.seed)), F.lit(n))).alias("src"),
             (F.pmod(F.xxhash64("id", F.lit(args.seed + 1)), F.lit(n))).alias("dst"),
-            F.lit(1.0).alias("weight"),
         )
         .filter(F.col("src") != F.col("dst"))
     )
     g = Graph.from_edgelist(raw)
     edges = g.edges.repartition(args.partitions, "src").persist()
     n_edges = edges.count()
-    g = Graph(edges=edges)
+    g = Graph(edges=edges, unweighted=g.unweighted)
     print(f"# edges={n_edges}", file=sys.stderr, flush=True)
 
     t0 = time.time()
