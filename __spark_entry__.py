@@ -300,6 +300,49 @@ def _lpa_sql(iters: int = 3) -> str:
     )
 
 
+def _rngstream_sql(size: int = 1200, n_threads: int = 4) -> str:
+    """Recursive-CTE oracle for the MRG32k3a reference-parity vector.
+
+    DuckDB steps the PUBLISHED per-draw recurrence itself in exact BIGINT
+    arithmetic — the only Python-precomputed inputs are the per-thread
+    stream start states (2^127-step jumps, infeasible in SQL; their
+    correctness is pinned independently by
+    tests/test_rngstream.py::test_jump_matrix_equals_sequential_recurrence
+    and the published first-draw anchor)."""
+    from grappolo_spark.functions.rngstream import static_chunks, stream_starts
+
+    rows = []
+    for (start, cnt), st in zip(
+        static_chunks(size, n_threads), stream_starts(n_threads)
+    ):
+        cols = ", ".join(f"CAST({x} AS BIGINT)" for x in st)
+        rows.append(f"({start}, {cnt}, {cols})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH RECURSIVE seeds(cstart, clen, s0, s1, s2, s3, s4, s5) AS (
+  VALUES
+    {values}
+), gen(cstart, clen, k, s0, s1, s2, s3, s4, s5, rand) AS (
+  SELECT cstart, clen, CAST(0 AS BIGINT), s0, s1, s2, s3, s4, s5,
+         CAST(NULL AS DOUBLE)
+  FROM seeds
+  UNION ALL
+  SELECT cstart, clen, k + 1, s1, s2, p1, s4, s5, p2,
+         CASE WHEN p1 > p2 THEN (p1 - p2) * (1.0 / 4294967088.0)
+              ELSE (p1 - p2 + 4294967087) * (1.0 / 4294967088.0) END
+  FROM (
+    SELECT *,
+      ((1403580 * s1 - 810728 * s0) % 4294967087 + 4294967087)
+        % 4294967087 AS p1,
+      ((527612 * s5 - 1370589 * s3) % 4294944443 + 4294944443)
+        % 4294944443 AS p2
+    FROM gen WHERE k < clen
+  )
+)
+SELECT cstart + k - 1 AS i, rand FROM gen WHERE k > 0 ORDER BY i
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -737,6 +780,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = build_parts_graph(spark, sf)
         return color_histogram(distance_one_coloring(g)).orderBy("color")
 
+    def q_rngstream(spark, sf):
+        # reference-parity randomness (`Utility/utilityFunctions.cpp:47-75`,
+        # `Utility/RngStream.cpp`): the exact vector generateRandomNumbers()
+        # fills at 4 OpenMP threads — value-oracled against DuckDB stepping
+        # the published MRG32k3a recurrence in a recursive CTE
+        from grappolo_spark.functions.rngstream import rngstream_fill
+
+        return rngstream_fill(spark, 1200, 4, block=128)
+
     def q_dedup_exact(spark, sf):
         return D.exact_dedup(_read(spark, sf, "documents"))
 
@@ -850,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_valid": q_coloring_valid,
         "equitable_valid": q_equitable_valid,
         "coloring_histogram": q_coloring_histogram,
+        "rngstream_randvec": q_rngstream,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1045,6 +1098,7 @@ LEFT JOIN hist ON hist.media_id = ids.media_id AND hist.bin = b.r
     )
     sql["coloring_valid"] = _EMPTY_EDGES
     sql["equitable_valid"] = _EMPTY_EDGES
+    sql["rngstream_randvec"] = _rngstream_sql(1200, 4)
 
     sql["triangle_total"] = f"""
 WITH {PARTS_EDGES_CTE.strip()},

@@ -45,14 +45,32 @@ aggregate(
 
 
 def distance_one_coloring(
-    g: Graph, seed: int = 12345, max_rounds: int = 100
+    g: Graph,
+    seed: int = 12345,
+    max_rounds: int = 100,
+    rand_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Return (v, color) with no two adjacent vertices sharing a color."""
+    """Return (v, color) with no two adjacent vertices sharing a color.
+
+    ``rand_df`` (optional ``(v, rand double)``): conflict tie-break values.
+    By default the tie-break is a deterministic xxhash64 stream; passing
+    ``functions.rngstream.rngstream_fill(spark, nv, n_threads)`` (i→v)
+    reproduces the REFERENCE's tie-break ordering bit-for-bit — the
+    `randValues[v] < randValues[w] || (== && v < w)` rule of
+    `coloringDistanceOne.cpp:370-371` over the exact vector its
+    `generateRandomNumbers()` fills at ``n_threads`` OpenMP threads.
+    """
     pairs = (
         g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     ).persist()
     colors = g.vertex_ids().select("v", F.lit(None).cast("int").alias("color"))
     colors = cut_lineage(colors, tag="coloring")
+    # optional reference-parity tie-break values, keyed for both edge ends
+    k_src = k_dst = None
+    if rand_df is not None:
+        keys = rand_df.select("v", F.col("rand").alias("tiebreak")).persist()
+        k_src = keys.select(F.col("v").alias("src"), F.col("tiebreak").alias("t_src"))
+        k_dst = keys.select(F.col("v").alias("dst"), F.col("tiebreak").alias("t_dst"))
 
     for _ in range(max_rounds):
         pending = colors.filter(F.col("color").isNull()).select("v")
@@ -88,20 +106,28 @@ def distance_one_coloring(
         p_dst = proposals.select(
             F.col("v").alias("dst"), F.col("proposal").alias("p_dst")
         )
-        losers = (
+        conflicts = (
             pairs.join(p_src, "src")
             .join(p_dst, "dst")
             .filter(F.col("p_src") == F.col("p_dst"))
-            .filter(
-                F.struct(
-                    F.xxhash64(F.col("src"), F.lit(seed)).alias("h"),
-                    F.col("src").alias("i"),
-                )
-                < F.struct(
-                    F.xxhash64(F.col("dst"), F.lit(seed)).alias("h"),
-                    F.col("dst").alias("i"),
-                )
+        )
+        if k_src is not None:
+            # reference rule (`coloringDistanceOne.cpp:370-371`): the
+            # smaller (rand, id) end of a conflicting edge loses
+            loser_cond = F.struct(
+                F.col("t_src").alias("h"), F.col("src").alias("i")
+            ) < F.struct(F.col("t_dst").alias("h"), F.col("dst").alias("i"))
+            conflicts = conflicts.join(k_src, "src").join(k_dst, "dst")
+        else:
+            loser_cond = F.struct(
+                F.xxhash64(F.col("src"), F.lit(seed)).alias("h"),
+                F.col("src").alias("i"),
+            ) < F.struct(
+                F.xxhash64(F.col("dst"), F.lit(seed)).alias("h"),
+                F.col("dst").alias("i"),
             )
+        losers = (
+            conflicts.filter(loser_cond)
             .select(F.col("src").alias("v"))
             .distinct()
         )
@@ -111,6 +137,8 @@ def distance_one_coloring(
             .select("v", F.coalesce("color", "proposal").alias("color"))
         )
         colors = cut_lineage(colors, tag="coloring")
+    if k_src is not None:
+        keys.unpersist()
     return colors
 
 

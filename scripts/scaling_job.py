@@ -36,6 +36,12 @@ def main() -> int:
         default="pagerank",
         choices=["pagerank", "louvain", "ann", "ann_np"],
     )
+    ap.add_argument(
+        "--weighted",
+        action="store_true",
+        help="force the wide sum(weight) kernel path (A/B control for "
+        "the Graph.unweighted narrow-gather fast path)",
+    )
     ap.add_argument("--ann-rows", type=int, default=6000)
     ap.add_argument("--ann-dim", type=int, default=128)
     ap.add_argument(
@@ -194,7 +200,9 @@ def main() -> int:
     g = Graph.from_edgelist(raw)
     edges = g.edges.repartition(args.partitions, "src").persist()
     n_edges = edges.count()  # materialize the build outside the timed window
-    g = Graph(edges=edges, unweighted=g.unweighted)
+    # --weighted forces the wide (sum-weight) kernel path on the same
+    # input — the A/B control for the unweighted narrow-gather fast path
+    g = Graph(edges=edges, unweighted=g.unweighted and not args.weighted)
 
     if args.workload == "louvain":
         # the flagship superstep (north rule: "edges/sec per superstep and
