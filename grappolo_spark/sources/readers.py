@@ -66,12 +66,15 @@ def read_edge_list(
         )
     )
     off = 1 if one_based else 0
-    e = t.select(
+    cols = [
         (F.col("t")[0].cast("long") - off).alias("src"),
         (F.col("t")[1].cast("long") - off).alias("dst"),
-        (F.col("t")[2].cast("double") if weighted else F.lit(1.0)).alias("weight"),
-    )
-    return Graph.from_edgelist(e, directed=directed)
+    ]
+    if weighted:
+        cols.append(F.col("t")[2].cast("double").alias("weight"))
+    # unweighted files omit the column: canonical_edges fills weight=1.0
+    # and the Graph carries unweighted=True (narrow iterative gathers)
+    return Graph.from_edgelist(t.select(*cols), directed=directed)
 
 
 def read_snap(spark: SparkSession, path: str) -> tuple[DataFrame, Graph]:
@@ -160,14 +163,11 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
             ).alias("e"),
         ).select("src", F.col("e.dst"), F.col("e.weight"))
     else:
+        # no weight column: from_edgelist fills 1.0 and flags unweighted
         pairs = (
             body.filter(F.size("t") > 0)
             .select("src", F.explode("t").alias("d"))
-            .select(
-                "src",
-                (F.col("d").cast("long") - 1).alias("dst"),
-                F.lit(1.0).alias("weight"),
-            )
+            .select("src", (F.col("d").cast("long") - 1).alias("dst"))
             .filter(F.col("dst").isNotNull())
         )
     pairs = pairs.filter(F.col("src") != F.col("dst"))
