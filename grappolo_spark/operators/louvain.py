@@ -523,6 +523,7 @@ def louvain_one_phase(
     broadcast_max_vertices: int = 5_000_000,
     two_m_hint: float | None = None,
     nv_hint: int | None = None,
+    ids32: bool | None = None,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """Run one modularity-optimization level to its convergence threshold.
@@ -555,6 +556,20 @@ def louvain_one_phase(
     Works unchanged on directed graphs (``Graph(directed=True)``, edges not
     symmetrized): vdeg becomes the out-degree and the constant 1/sum(w) is
     doubled to 1/m as in `parallelDirectedLouvainMethod.cpp:103-105`.
+
+    ``ids32`` (None = auto): store vertex ids as 32-bit ints in the hot
+    gather chain — the persisted edge cache, the gather join/aggregation
+    and the argmax — halving the id bytes through the stage the round-5
+    profile measured as 73% of kernel CPU (width-bound, zero shuffle).
+    Auto enables it on the broadcast-gather path when the id bound is
+    KNOWN to fit int32: verified via min/max ids in the start-of-phase
+    stats action, or, on the multiphase hints path, implied by the dense
+    contiguous renumbering contract (ids in [0, nv_hint)). Community ids
+    are a subset of vertex ids, so the gather's candidate column narrows
+    too. The state table, commits, and the returned assignment stay
+    ``long`` — casts happen once per O(V) row at the chain boundaries.
+    The shuffle-gather path never narrows (its co-partitioned joins and
+    bucketed state cuts key on the canonical long columns).
     """
     spark = g.edges.sparkSession
     # weight ≡ 1.0 invariant (see Graph.unweighted): lets the hot gather
@@ -576,6 +591,9 @@ def louvain_one_phase(
         two_m = two_m_hint
         use_salting = False
         nv_seen = nv_hint
+        # hints path (multiphase coarse phases): ids are dense-renumbered
+        # [0, nv) by contract, so nv bounds the id range
+        min_id, max_id = 0, nv_hint - 1
         if broadcast_assign is None:
             broadcast_assign = nv_hint <= broadcast_max_vertices
     else:
@@ -583,12 +601,24 @@ def louvain_one_phase(
             F.sum("deg").alias("tw"),
             F.max("out_degree").alias("maxdeg"),
             F.count(F.lit(1)).alias("nv"),
+            F.min("v").alias("min_id"),
+            F.max("v").alias("max_id"),
         ).collect()[0]
         two_m = stats0["tw"] or 0.0
         use_salting = (stats0["maxdeg"] or 0) > salt_threshold
         nv_seen = stats0["nv"] or 0
+        min_id = stats0["min_id"] if stats0["min_id"] is not None else 0
+        max_id = stats0["max_id"] if stats0["max_id"] is not None else 0
         if broadcast_assign is None:
             broadcast_assign = nv_seen <= broadcast_max_vertices
+    if ids32 is None:
+        ids32 = bool(broadcast_assign)
+    ids32 = bool(
+        ids32
+        and broadcast_assign
+        and -(1 << 31) <= min_id
+        and max_id < (1 << 31) - 1
+    )
     # hub skew (use_salting above): the gather routes through a two-stage
     # salted aggregation when any vertex's neighbor list exceeds the
     # threshold (the DataFrame analogue of the reference's per-thread
@@ -621,13 +651,43 @@ def louvain_one_phase(
     # dozens of near-empty tasks per stage, and task scheduling (not data)
     # is the phase cost there.
     gather_key = "src" if broadcast_assign else "dst"
+    # hot-cache projection: narrow the persisted layout to exactly what
+    # the per-superstep gather reads — int32 ids when the bound allows
+    # (ids32) and no weight column on unweighted graphs. The projection
+    # happens BEFORE the one-time repartition so the exchange itself
+    # moves narrow rows.
+    e_base = g.edges
+    if ids32 or unweighted:
+        cols = (
+            [
+                F.col("src").cast("int").alias("src"),
+                F.col("dst").cast("int").alias("dst"),
+            ]
+            if ids32
+            else [F.col("src"), F.col("dst")]
+        )
+        if not unweighted:
+            cols.append(F.col("weight"))
+        e_base = e_base.select(*cols)
     if nv_hint is not None and nv_hint <= 100_000:
-        edges = g.edges.repartition(4, gather_key).persist()
+        edges = e_base.repartition(4, gather_key).persist()
     else:
-        edges = g.edges.repartition(gather_key).persist()
+        edges = e_base.repartition(gather_key).persist()
+    # cold-path adapter: the canonical (long src, long dst, weight) view
+    # for auxiliary consumers (self-loop weights, smart init, the
+    # early-terminate e_xx scan). Casts/literals materialize AFTER the
+    # cache scan, so the cache stays narrow and the cold paths keep the
+    # canonical schema.
+    e_cold = edges
+    if ids32:
+        e_cold = e_cold.withColumn("src", F.col("src").cast("long")).withColumn(
+            "dst", F.col("dst").cast("long")
+        )
+    if unweighted:
+        e_cold = e_cold.withColumn("weight", F.lit(1.0))
 
     selfw = (
-        edges.filter(F.col("src") == F.col("dst"))
+        e_cold.filter(F.col("src") == F.col("dst"))
         .groupBy(F.col("src").alias("v"))
         .agg(F.sum("weight").alias("selfloop"))
     )
@@ -654,7 +714,7 @@ def louvain_one_phase(
             # fused initCommAssOpt: the SHARED one-pass sweep builder, fed
             # the partitioned edges and the vdeg/const already computed
             # here (two fewer jobs per phase than smart_init_assignment)
-            best0 = _singleton_sweep_best(edges, vdeg, const)
+            best0 = _singleton_sweep_best(e_cold, vdeg, const)
             assign = vdeg.join(best0, "v", "left").select(
                 "v", F.coalesce("cand", F.col("v")).cast("long").alias("comm")
             )
@@ -738,17 +798,39 @@ def louvain_one_phase(
         cinfo = cinfo.persist()
 
         # --- gather: weight from each vertex to each neighbor community ---
+        # canonical long-id view (cold paths: early-terminate e_xx scan)
         a_dst = assign.select(
             F.col("v").alias("dst"), F.col("comm").alias("comm_dst")
         )
+        if ids32:
+            # hot join side in the cache's int32 types: join/agg keys stay
+            # the cached attributes, preserving the exchange-free chain
+            # (comm ids are a subset of vertex ids, so cand fits too)
+            a_dst_hot = assign.select(
+                F.col("v").cast("int").alias("dst"),
+                F.col("comm").cast("int").alias("comm_dst"),
+            )
+            active_hot = (
+                active_src.select(F.col("src").cast("int").alias("src"))
+                if active_src is not None
+                else None
+            )
+        else:
+            a_dst_hot = a_dst
+            active_hot = active_src
+        gather_base = edges
+        if unweighted and use_salting:
+            # rare combo (hub graph with no weights): the salted sum needs
+            # a weight column; restore the literal after the cache scan
+            gather_base = edges.withColumn("weight", F.lit(1.0))
         gather_edges = (
-            edges.join(active_src, "src", "left_semi")
-            if active_src is not None
-            else edges
+            gather_base.join(active_hot, "src", "left_semi")
+            if active_hot is not None
+            else gather_base
         )
         # broadcast the O(V) assignment below the vertex threshold: the
         # persisted O(E) side is scanned in place — no exchange, no sort
-        a_dst_side = F.broadcast(a_dst) if broadcast_assign else a_dst
+        a_dst_side = F.broadcast(a_dst_hot) if broadcast_assign else a_dst_hot
         if unweighted and not use_salting:
             # weight ≡ 1.0 by construction (Graph.unweighted): drop the
             # 8-byte weight column from the hot gather entirely and count
@@ -809,6 +891,15 @@ def louvain_one_phase(
         # assignment is small: without the hint the planner sort-merge
         # joins — i.e. SORTS — the O(E)-width counter every iteration
         # (measured 3.4x slower at sf0.1)
+        if ids32:
+            # match the counter's int32 key attributes so the join and the
+            # following groupBy("v") reuse the cached partitioning — a
+            # long/int coercion here would rewrite the grouping key into a
+            # derived cast and reintroduce an exchange
+            state0 = state0.withColumn("v", F.col("v").cast("int"))
+            cinfo_cand = cinfo_cand.withColumn(
+                "cand", F.col("cand").cast("int")
+            )
         state0_side = F.broadcast(state0) if broadcast_assign else state0
         cc_side = F.broadcast(cinfo_cand) if broadcast_assign else cinfo_cand
         enriched = (
@@ -840,6 +931,10 @@ def louvain_one_phase(
             F.first("cdeg_cur").alias("cdeg_cur"),
             F.first("csize_cur").alias("csize_cur"),
         )
+        if ids32:
+            # chain boundary: back to canonical long ids for the O(V)
+            # state update (b.cand flows through when()-coercion to long)
+            bestinfo = bestinfo.withColumn("v", F.col("v").cast("long"))
         if fuse_stats:
             obs_cur = Observation()
             bestinfo = bestinfo.observe(obs_cur, F.sum("w_own").alias("e_xx"))
@@ -852,7 +947,7 @@ def louvain_one_phase(
                     F.col("v").alias("src"), F.col("comm").alias("comm_src")
                 )
                 exx_df = (
-                    edges.join(a_src_m, "src")
+                    e_cold.join(a_src_m, "src")
                     .join(a_dst, "dst")
                     .filter(F.col("comm_src") == F.col("comm_dst"))
                     .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("e_xx"))

@@ -42,6 +42,12 @@ def main() -> int:
         help="force the wide sum(weight) kernel path (A/B control for "
         "the Graph.unweighted narrow-gather fast path)",
     )
+    ap.add_argument(
+        "--no-ids32",
+        action="store_true",
+        help="force long vertex ids in the louvain hot chain (A/B "
+        "control for the int32 id representation)",
+    )
     ap.add_argument("--ann-rows", type=int, default=6000)
     ap.add_argument("--ann-dim", type=int, default=128)
     ap.add_argument(
@@ -212,7 +218,12 @@ def main() -> int:
         from grappolo_spark.operators.louvain import louvain_one_phase
 
         t0 = time.time()
-        res = louvain_one_phase(g, max_iters=args.iters, thresh=-1e9)
+        res = louvain_one_phase(
+            g,
+            max_iters=args.iters,
+            thresh=-1e9,
+            ids32=False if args.no_ids32 else None,
+        )
         res.assignment.count()
         dt = time.time() - t0
         print(
