@@ -36,6 +36,7 @@ def pagerank(
     lineage_cut_every: int = 3,
     broadcast_ranks: bool | None = None,
     broadcast_max_vertices: int = 5_000_000,
+    ids32: bool | None = None,
     run_dir: str | None = None,
 ) -> DataFrame:
     """Return ``(v, rank)``. Deterministic given (graph, alpha, max_iters).
@@ -50,16 +51,55 @@ def pagerank(
     - **False** (auto beyond the threshold — a billion-vertex rank table
       must not be broadcast): the shuffle-join plan, edges co-partitioned
       on the join key once and reused.
+
+    ``ids32`` (default OFF, explicit opt-in): the louvain int32 hot-chain
+    treatment applied here — edge cache and in-loop rank state carry
+    32-bit ids (bound verified via min/max riding the |V| action), the
+    returned ``(v, rank)`` cast back to long. Unlike louvain (measured
+    1.2-1.3x), pagerank showed NO consistent win on the sandbox:
+    alternated 32-core pairs at 33.5M edges split +1.49x/+1.28x/-1.10x
+    after fixing the build-side partitioning, and the long plan's best
+    runs (18.1-19.7s) beat the int plan's best (21.7s) — the superstep
+    here is dominated by the per-iteration rank broadcast and the O(V)
+    base⋈contribs sort-merge join, not the edge-cache scan that makes
+    the louvain gather width-bound. Kept as an experiment flag; ranks
+    may differ from the long plan at the ~1e-15 summation-order level.
+    The shuffle path (bucketed long state cuts) never narrows.
     """
     spark = g.edges.sparkSession
     verts = g.vertex_ids()
-    n = verts.count()
+    vstats = verts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_id"),
+        F.max("v").alias("max_id"),
+    ).collect()[0]
+    n = vstats["n"]
     if n == 0:
         return spark.createDataFrame([], "v long, rank double")
     if broadcast_ranks is None:
         broadcast_ranks = n <= broadcast_max_vertices
+    if ids32 is None:
+        ids32 = False  # measured neutral-to-slower here; see docstring
+    min_id = vstats["min_id"] if vstats["min_id"] is not None else 0
+    max_id = vstats["max_id"] if vstats["max_id"] is not None else 0
+    ids32 = bool(
+        ids32
+        and broadcast_ranks
+        and -(1 << 31) <= min_id
+        and max_id < (1 << 31) - 1
+    )
 
     wout = g.edges.groupBy(F.col("src").alias("v")).agg(F.sum("weight").alias("wout"))
+    if ids32:
+        # cast BOTH build inputs before the join, not the join output: the
+        # persisted base then carries hashpartitioning on the int v
+        # attribute itself, which the per-superstep base⋈contribs join
+        # reuses (contribs inherits the edge cache's int dst layout). A
+        # post-join cast would make v a derived attribute, void the cached
+        # partitioning, and re-exchange base every superstep — measured
+        # 1.4x SLOWER than the long plan before this ordering fix.
+        verts = verts.select(F.col("v").cast("int").alias("v"))
+        wout = wout.select(F.col("v").cast("int").alias("v"), "wout")
     base = verts.join(wout, "v", "left").select(
         "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
     )
@@ -69,7 +109,14 @@ def pagerank(
     # and the contribution skips the weight multiply (x·1.0 ≡ x, so the
     # ranks are bit-identical to the weighted plan on the same graph)
     unweighted = bool(getattr(g, "unweighted", False))
-    e_loop = g.edges.select("src", "dst") if unweighted else g.edges
+    e_cols = (
+        [F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")]
+        if ids32
+        else [F.col("src"), F.col("dst")]
+    )
+    if not unweighted:
+        e_cols.append(F.col("weight"))
+    e_loop = g.edges.select(*e_cols) if (ids32 or unweighted) else g.edges
     if broadcast_ranks:
         # partition on the AGGREGATION key: with the join side broadcast,
         # groupBy(dst) then needs no exchange at all
@@ -161,7 +208,9 @@ def pagerank(
     # other kernels: if a future refactor (or max_iters=0 with an uncut
     # init) hands a derived plan here, it degrades to an explicit result
     # cut instead of a rotation-lifetime FAILED_READ_FILE.
-    out = promote_result(ranks, fallback_cut=True).select("v", "rank")
+    out = promote_result(ranks, fallback_cut=True).select(
+        F.col("v").cast("long").alias("v"), "rank"
+    )
     base.unpersist()
     edges.unpersist()
     return out

@@ -246,7 +246,12 @@ def main() -> int:
         os._exit(0)
 
     t0 = time.time()
-    pr = pagerank(g, max_iters=args.iters, lineage_cut_every=3)
+    pr = pagerank(
+        g,
+        max_iters=args.iters,
+        lineage_cut_every=3,
+        ids32=False if args.no_ids32 else None,
+    )
     n_ranks = pr.count()
     dt = time.time() - t0
 

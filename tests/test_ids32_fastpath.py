@@ -65,6 +65,30 @@ def test_ids32_output_schema_stays_long(spark):
     assert schema["v"] == "bigint" and schema["comm"] == "bigint"
 
 
+def test_pagerank_ids32_matches_long_path(spark):
+    # summation order inside the contribution groupBy may differ between
+    # the int and long hash layouts, so ranks agree to float accumulation
+    # error, not bit-for-bit (documented in the pagerank docstring)
+    from grappolo_spark.operators.pagerank import pagerank
+
+    g = _rand_graph(spark, seed=31, weighted=True)
+    a = {r["v"]: r["rank"] for r in pagerank(g, max_iters=6, ids32=True).collect()}
+    b = {r["v"]: r["rank"] for r in pagerank(g, max_iters=6, ids32=False).collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_pagerank_ids32_output_schema_stays_long(spark):
+    from grappolo_spark.operators.pagerank import pagerank
+
+    g = _rand_graph(spark, seed=37)
+    out = pagerank(g, max_iters=2, ids32=True)
+    assert {f.name: f.dataType.simpleString() for f in out.schema} == {
+        "v": "bigint",
+        "rank": "double",
+    }
+
+
 def test_ids32_auto_disables_beyond_int32(spark):
     # ids beyond 2^31: the auto gate must fall back to the long chain and
     # still produce the long-path result
