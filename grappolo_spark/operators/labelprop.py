@@ -72,6 +72,9 @@ def label_propagation(
     max_iters: int = 10,
     stop_on_converge: bool = True,
     local_threshold: int = 2_000_000,
+    broadcast_labels: bool | None = None,
+    broadcast_max_vertices: int = 5_000_000,
+    ids32: bool | None = None,
     run_dir: str | None = None,
 ) -> DataFrame:
     """Return ``(v, label)``; isolated vertices keep their own id.
@@ -79,7 +82,20 @@ def label_propagation(
     Below ``local_threshold`` edge rows the identical iteration replays
     driver-locally (one Arrow collect — distributed supersteps over a
     small graph are fixed job overhead); ``run_dir`` (durable superstep
-    state for resume) forces the distributed path. 0 disables."""
+    state for resume) forces the distributed path. 0 disables.
+
+    ``broadcast_labels`` (auto when |V| <= ``broadcast_max_vertices``):
+    the src-keyed broadcast-gather layout proven on the louvain kernel —
+    pairs are hash-partitioned ONCE on ``src`` (the aggregation key), the
+    O(V) label table broadcasts into the join, and the whole
+    freq→argmax chain runs with zero per-superstep exchanges; before,
+    every superstep shuffled O(E) frequency rows from the dst-join
+    layout to the src aggregation. Beyond the threshold the dst-
+    co-partitioned shuffle plan is kept. ``ids32`` (None = auto with the
+    broadcast path): 32-bit ids through the hot chain when the id bound
+    fits — labels are vertex ids, so the label column narrows too;
+    winners are identical (integer counts, same tie-break ordering).
+    """
     spark = g.edges.sparkSession
     if (
         run_dir is None
@@ -92,13 +108,43 @@ def label_propagation(
         )
         return cut_lineage(out, tag="result", keep_last=64)
 
+    vstats = g.vertex_ids().agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.min("v").alias("min_id"),
+        F.max("v").alias("max_id"),
+    ).collect()[0]
+    nv = vstats["nv"] or 0
+    if broadcast_labels is None:
+        broadcast_labels = nv <= broadcast_max_vertices
+    if ids32 is None:
+        ids32 = bool(broadcast_labels)
+    min_id = vstats["min_id"] if vstats["min_id"] is not None else 0
+    max_id = vstats["max_id"] if vstats["max_id"] is not None else 0
+    ids32 = bool(
+        ids32
+        and broadcast_labels
+        and -(1 << 31) <= min_id
+        and max_id < (1 << 31) - 1
+    )
+
     # weight ≡ 1.0 invariant (Graph.unweighted): persist only (src, dst)
     # and count rows per label instead of summing doubles — identical
     # winners (integer counts are exact doubles, same tie-break struct)
     unweighted = bool(getattr(g, "unweighted", False))
-    pair_cols = ["src", "dst"] if unweighted else ["src", "dst", "weight"]
+    if ids32:
+        pair_cols = [
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        ]
+    else:
+        pair_cols = [F.col("src"), F.col("dst")]
+    if not unweighted:
+        pair_cols.append(F.col("weight"))
     pairs = g.edges.filter(F.col("src") != F.col("dst")).select(*pair_cols)
-    pairs = pairs.repartition("dst").persist()
+    # broadcast gather: partition once on the AGGREGATION key src so the
+    # freq/argmax groupBys reuse the cached layout; shuffle gather:
+    # co-partition on the JOIN key dst so the O(E) side never moves
+    pairs = pairs.repartition("src" if broadcast_labels else "dst").persist()
 
     runner = SuperstepRunner(spark, run_dir)
     start, resumed = runner.resume()
@@ -110,8 +156,17 @@ def label_propagation(
     labels = cut_lineage(labels, tag="lpa")
 
     for step in range(start, max_iters):
+        if ids32:
+            # hot join side in the cache's int types (labels ⊆ vertex ids)
+            l_hot = labels.select(
+                F.col("v").cast("int").alias("v"),
+                F.col("label").cast("int").alias("label"),
+            )
+        else:
+            l_hot = labels
+        l_side = F.broadcast(l_hot) if broadcast_labels else l_hot
         freq = (
-            pairs.join(labels, pairs.dst == labels.v)
+            pairs.join(l_side, pairs.dst == l_side.v)
             .groupBy(F.col("src").alias("vv"), "label")
             .agg(
                 F.count(F.lit(1)).cast("double").alias("w")
@@ -123,6 +178,12 @@ def label_propagation(
         best = freq.groupBy("vv").agg(
             F.max_by("label", F.struct(F.col("w"), -F.col("label"))).alias("new_label")
         )
+        if ids32:
+            # chain boundary: back to long for the O(V) state update
+            best = best.select(
+                F.col("vv").cast("long").alias("vv"),
+                F.col("new_label").cast("long").alias("new_label"),
+            )
         new = labels.join(best, labels.v == best.vv, "left").select(
             "v", F.coalesce("new_label", F.col("label")).alias("label")
         )

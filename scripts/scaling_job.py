@@ -34,13 +34,19 @@ def main() -> int:
     ap.add_argument(
         "--workload",
         default="pagerank",
-        choices=["pagerank", "louvain", "ann", "ann_np"],
+        choices=["pagerank", "louvain", "lpa", "ann", "ann_np"],
     )
     ap.add_argument(
         "--weighted",
         action="store_true",
         help="force the wide sum(weight) kernel path (A/B control for "
         "the Graph.unweighted narrow-gather fast path)",
+    )
+    ap.add_argument(
+        "--lpa-shuffle-gather",
+        action="store_true",
+        help="force the dst-co-partitioned shuffle plan in the lpa "
+        "workload (A/B control for the src-keyed broadcast layout)",
     )
     ap.add_argument(
         "--no-ids32",
@@ -209,6 +215,43 @@ def main() -> int:
     # --weighted forces the wide (sum-weight) kernel path on the same
     # input — the A/B control for the unweighted narrow-gather fast path
     g = Graph(edges=edges, unweighted=g.unweighted and not args.weighted)
+
+    if args.workload == "lpa":
+        # label-propagation superstep: the same gather shape as louvain's
+        # (edge scan + label join + (src,label) agg + argmax); A/B the
+        # src-keyed broadcast layout vs the dst-co-partitioned shuffle
+        # plan via --lpa-shuffle-gather, and ids32 via --no-ids32
+        from grappolo_spark.operators.labelprop import label_propagation
+
+        t0 = time.time()
+        out = label_propagation(
+            g,
+            max_iters=args.iters,
+            stop_on_converge=False,
+            local_threshold=0,
+            broadcast_labels=False if args.lpa_shuffle_gather else None,
+            ids32=False if args.no_ids32 else None,
+        )
+        out.count()
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cpus": args.cpus,
+                    "workload": "lpa",
+                    "edges": n_edges,
+                    "vertices": args.vertices,
+                    "iters": args.iters,
+                    "seconds": round(dt, 3),
+                    "edges_per_sec_superstep": round(
+                        n_edges * args.iters / dt, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+        os._exit(0)
 
     if args.workload == "louvain":
         # the flagship superstep (north rule: "edges/sec per superstep and

@@ -89,6 +89,32 @@ def test_pagerank_ids32_output_schema_stays_long(spark):
     }
 
 
+def test_lpa_broadcast_ids32_matches_shuffle_long(spark):
+    # the src-keyed broadcast gather + int chain vs the dst-co-partitioned
+    # long shuffle plan: identical labels (exact — integer counts, same
+    # tie-break ordering), across both toggles independently
+    from grappolo_spark.operators.labelprop import label_propagation
+
+    g = _rand_graph(spark, seed=41)
+
+    def run(**kw):
+        return {
+            r["v"]: r["label"]
+            for r in label_propagation(
+                g,
+                max_iters=3,
+                stop_on_converge=False,
+                local_threshold=0,
+                **kw,
+            ).collect()
+        }
+
+    ref = run(broadcast_labels=False, ids32=False)
+    assert run(broadcast_labels=True, ids32=False) == ref
+    assert run(broadcast_labels=True, ids32=True) == ref
+    assert run() == ref  # auto
+
+
 def test_ids32_auto_disables_beyond_int32(spark):
     # ids beyond 2^31: the auto gate must fall back to the long chain and
     # still produce the long-path result
