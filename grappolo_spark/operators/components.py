@@ -156,6 +156,7 @@ def connected_components(
     check_every: int = 1,
     local_threshold: int = 2_000_000,
     freeze: bool = True,
+    ids32: bool | None = None,
     run_dir: str | None = None,
 ) -> DataFrame:
     """Return assignments ``(v, component)``; isolated vertices get their own id.
@@ -177,6 +178,12 @@ def connected_components(
     AND durable runs: the committed per-step state stays pre-split, and a
     resume rederives every frozen batch deterministically from the step
     parquets the runner already keeps.
+
+    ``ids32`` (None = auto on the star path): 32-bit ids through the star
+    rounds when the verified id bound fits int32 — component ids are
+    min vertex ids, so BOTH columns of every per-round pair shuffle
+    narrow; the returned ``(v, component)`` stays long. The id bounds
+    ride the same one-pass stats action as the local-path row count.
     """
     pairs = (
         g.edges.filter(F.col("src") != F.col("dst"))
@@ -187,18 +194,32 @@ def connected_components(
     if run_dir is not None:
         check_every = 1
 
-    if (
-        run_dir is None
-        and local_threshold > 0
-        and method == "star"
-        and pairs.count() <= local_threshold
-    ):
-        labels = _local_union_find(pairs)
-        all_v = g.vertex_ids()
-        out = all_v.join(labels, "v", "left").select(
-            "v", F.coalesce("component", F.col("v")).alias("component")
+    if method == "star":
+        pstats = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.least("u", "v")).alias("min_id"),
+            F.max(F.greatest("u", "v")).alias("max_id"),
+        ).collect()[0]
+        if (
+            run_dir is None
+            and local_threshold > 0
+            and (pstats["n"] or 0) <= local_threshold
+        ):
+            labels = _local_union_find(pairs)
+            all_v = g.vertex_ids()
+            out = all_v.join(labels, "v", "left").select(
+                "v", F.coalesce("component", F.col("v")).alias("component")
+            )
+            return cut_lineage(out, tag="result", keep_last=64)
+        if ids32 is None:
+            ids32 = True
+        min_id = pstats["min_id"] if pstats["min_id"] is not None else 0
+        max_id = pstats["max_id"] if pstats["max_id"] is not None else 0
+        ids32 = bool(
+            ids32 and -(1 << 31) <= min_id and max_id < (1 << 31) - 1
         )
-        return cut_lineage(out, tag="result", keep_last=64)
+    else:
+        ids32 = False
 
     if method == "star":
         start, resumed = runner.resume()
@@ -232,6 +253,14 @@ def connected_components(
                     pairs = pairs.join(
                         frozen_batches[-1].select("u"), "u", "left_anti"
                     )
+        if ids32:
+            # one cast at the top of the rounds (covers fresh AND resumed
+            # state, which an older run may have written as long); every
+            # per-round shuffle then moves 8-byte pairs instead of 16
+            pairs = pairs.select(
+                F.col("u").cast("int").alias("u"),
+                F.col("v").cast("int").alias("v"),
+            )
         pairs = cut_lineage(pairs, tag="cc_pairs")
         prev = _checksum(pairs)  # once, against the cut parquet — cheap
         for step in range(start, max_iters):
@@ -295,6 +324,12 @@ def connected_components(
                 )
             )
             labels = labels.unionByName(resolved)
+        if ids32:
+            # chain boundary: canonical long schema for the final join
+            labels = labels.select(
+                F.col("v").cast("long").alias("v"),
+                F.col("component").cast("long").alias("component"),
+            )
     elif method == "label_prop":
         labels = g.vertex_ids().select("v", F.col("v").alias("component"))
         labels = cut_lineage(labels, tag="cc_labels")

@@ -115,6 +115,26 @@ def test_lpa_broadcast_ids32_matches_shuffle_long(spark):
     assert run() == ref  # auto
 
 
+def test_cc_star_ids32_matches_long(spark):
+    from grappolo_spark.operators.components import connected_components
+
+    g = _rand_graph(spark, seed=53, n=900, verts=300)
+
+    def run(**kw):
+        return {
+            r["v"]: r["component"]
+            for r in connected_components(
+                g, local_threshold=0, **kw
+            ).collect()
+        }
+
+    ref = run(ids32=False)
+    assert run(ids32=True) == ref
+    assert run() == ref  # auto
+    # freeze off exercises the no-contract path too
+    assert run(ids32=True, freeze=False) == ref
+
+
 def test_ids32_auto_disables_beyond_int32(spark):
     # ids beyond 2^31: the auto gate must fall back to the long chain and
     # still produce the long-path result
