@@ -100,6 +100,15 @@ def main() -> int:
         "label_propagation_3it",
         lambda: label_propagation(parts, max_iters=3, stop_on_converge=False).count(),
     )
+    # forced-distributed LPA: the src-keyed broadcast-gather layout
+    # (zero per-superstep exchanges; 2.2-2.7x over the dst shuffle plan
+    # at 134M edges — SCALING.json round5_late)
+    timed(
+        "lpa_distributed_3it",
+        lambda: label_propagation(
+            parts, max_iters=3, stop_on_converge=False, local_threshold=0
+        ).count(),
+    )
     timed("triangle_count", lambda: triangle_count(parts).collect())
     # engine default: at this sf the whole multiphase runs the driver-local
     # numpy tail (identical kernel, equivalence-tested); smart_init is the
