@@ -200,6 +200,7 @@ def louvain(
     smart_init: bool = False,
     lineage_cut_every: int = 1,
     sample_hash: str = "xxh64",
+    ids32: bool | None = None,
     run_dir: str | None = None,
 ) -> LouvainResult:
     """Full multi-phase Louvain (flagship query — reference entry point
@@ -358,6 +359,9 @@ def louvain(
                     # iteration so some truncation is mandatory, and the
                     # parquet cut wins
                     lineage_cut_every=lineage_cut_every,
+                    # None = the kernel's auto gate (int32 hot chain when
+                    # the verified/dense id bound fits — see its docstring)
+                    ids32=ids32,
                     run_dir=f"{run_dir}/phase{phase}" if run_dir else None,
                 )
             if res.two_m:
