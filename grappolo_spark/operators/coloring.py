@@ -69,6 +69,20 @@ def distance_one_coloring(
     k_src = k_dst = None
     if rand_df is not None:
         keys = rand_df.select("v", F.col("rand").alias("tiebreak")).persist()
+        # coverage guard: the conflict resolution INNER-joins the tie-break
+        # table, so a conflicting vertex missing from rand_df would silently
+        # drop its conflict row and let both endpoints keep the same color —
+        # an invalid coloring. rngstream_fill keys by dense index 0..size-1,
+        # which need not cover sparse vertex ids; fail fast instead.
+        missing = (
+            g.vertex_ids().join(keys, "v", "left_anti").limit(1).count()
+        )
+        if missing:
+            raise ValueError(
+                "rand_df must provide a tie-break value for every vertex id "
+                "(vertex ids found with no rand_df row; rngstream_fill is "
+                "keyed by dense index 0..size-1 — densify ids first)"
+            )
         k_src = keys.select(F.col("v").alias("src"), F.col("tiebreak").alias("t_src"))
         k_dst = keys.select(F.col("v").alias("dst"), F.col("tiebreak").alias("t_dst"))
 

@@ -524,6 +524,7 @@ def louvain_one_phase(
     two_m_hint: float | None = None,
     nv_hint: int | None = None,
     ids32: bool | None = None,
+    _dense_ids: bool = False,
     run_dir: str | None = None,
 ) -> LouvainPhaseResult:
     """Run one modularity-optimization level to its convergence threshold.
@@ -583,11 +584,13 @@ def louvain_one_phase(
     # phases instead — 2m is conserved by coarsening and |V| equals the
     # previous phase's cluster count, so when nv_hint is also under the
     # salting threshold (max degree <= nv-1) the whole action is skipped.
+    hints_path = False
     if (
         two_m_hint is not None
         and nv_hint is not None
         and nv_hint <= salt_threshold
     ):
+        hints_path = True
         two_m = two_m_hint
         use_salting = False
         nv_seen = nv_hint
@@ -612,7 +615,21 @@ def louvain_one_phase(
         if broadcast_assign is None:
             broadcast_assign = nv_seen <= broadcast_max_vertices
     if ids32 is None:
-        ids32 = bool(broadcast_assign)
+        # hint-derived bounds are UNVERIFIED: auto-enable the int32 chain
+        # from them only when the caller vouches for the dense-renumbering
+        # contract (_dense_ids — the multiphase driver does; it produced
+        # the renumbering). A public caller passing nv_hint over sparse or
+        # >int32 ids must not get silent non-ANSI wrapping casts.
+        ids32 = bool(broadcast_assign and (not hints_path or _dense_ids))
+    elif ids32 and hints_path and not _dense_ids:
+        # explicit ids32=True on unverified hints: one cheap bounds scan
+        # replaces the trust — wrong communities are never an option
+        row = g.edges.agg(
+            F.min(F.least("src", "dst")).alias("lo"),
+            F.max(F.greatest("src", "dst")).alias("hi"),
+        ).collect()[0]
+        min_id = row["lo"] if row["lo"] is not None else 0
+        max_id = row["hi"] if row["hi"] is not None else 0
     ids32 = bool(
         ids32
         and broadcast_assign

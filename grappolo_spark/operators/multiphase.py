@@ -352,6 +352,9 @@ def louvain(
                     # cluster count
                     two_m_hint=two_m_seen,
                     nv_hint=prev_k,
+                    # this driver produced the dense renumbering the hints
+                    # describe, so the hint-derived id bound is verified
+                    _dense_ids=True,
                     # default 1: parquet-cut EVERY iteration. Chaining via
                     # localCheckpoint (>1) measured ~3x SLOWER at sf0.1 —
                     # the checkpoint materializes through the non-adaptive
