@@ -170,7 +170,17 @@ class Graph:
 
     # -- basic derived tables -----------------------------------------
     def vertex_ids(self) -> DataFrame:
-        """All vertex ids (edge endpoints union explicit vertices)."""
+        """All vertex ids (edge endpoints union explicit vertices).
+
+        A symmetrized table lists every non-isolated vertex as ``src``
+        (non-self edges appear in both directions, self-loops once with
+        src == dst), so the undirected case distincts ONE endpoint column —
+        half the rows into the distinct's exchange and one scan of the
+        edge table instead of two. Directed graphs (pure sinks appear only
+        as dst) and explicit-vertex graphs keep the full union.
+        """
+        if not self.directed and self.vertices is None:
+            return self.edges.select(F.col("src").alias("v")).distinct()
         vs = self.edges.select(F.col("src").alias("v")).union(
             self.edges.select(F.col("dst").alias("v"))
         )

@@ -95,11 +95,15 @@ def _leaf_singles(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _local_union_find(pairs: DataFrame) -> DataFrame:
-    """Driver-local path for small graphs: one Arrow collect, then fully
+def _local_union_find(spark, pdf) -> DataFrame:
+    """Driver-local path for small graphs: one Arrow collect (done by the
+    caller — ``pdf`` has columns u, v and may contain self-loops and
+    duplicates, both harmless to the min-reduction), then fully
     VECTORIZED min-label propagation with pointer jumping — labels = min
     id per component, the same labels the star rounds converge to,
-    without ~6 rounds of fixed distributed-job overhead.
+    without ~6 rounds of fixed distributed-job overhead. Self-loop-only
+    vertices register in ``ids`` and keep their own label, so the output
+    covers every edge endpoint.
 
     Vectorized (sort once, then ``minimum.reduceat`` per round + pointer
     doubling, O(log n) rounds) instead of a per-edge Python union-find
@@ -109,8 +113,6 @@ def _local_union_find(pairs: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = pairs.sparkSession
-    pdf = pairs.toPandas()
     if not len(pdf):
         return spark.createDataFrame([], "v long, component long")
     u = pdf["u"].to_numpy(dtype=np.int64)
@@ -193,24 +195,59 @@ def connected_components(
     runner = SuperstepRunner(g.edges.sparkSession, run_dir)
     if run_dir is not None:
         check_every = 1
+    pairs_all = None  # star path's one-evaluation pair cut (see below)
 
     if method == "star":
-        pstats = pairs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.least("u", "v")).alias("min_id"),
-            F.max(F.greatest("u", "v")).alias("max_id"),
-        ).collect()[0]
-        if (
-            run_dir is None
-            and local_threshold > 0
-            and (pstats["n"] or 0) <= local_threshold
-        ):
-            labels = _local_union_find(pairs)
-            all_v = g.vertex_ids()
-            out = all_v.join(labels, "v", "left").select(
-                "v", F.coalesce("component", F.col("v")).alias("component")
+        if run_dir is None and local_threshold > 0:
+            # probe-and-collect in ONE evaluation of the (unpersisted) edge
+            # pipeline: limit caps the driver transfer, and under the bound
+            # the probe IS the collect — the old flow evaluated the
+            # pipeline up to four times (the distinct-pair stats gate, the
+            # union-find collect, and vertex_ids' two-scan union). The gate
+            # is now RAW edge rows (>= distinct pairs), a conservative
+            # shift: graphs between the two counts take the distributed
+            # star path, whose labels are identical.
+            probe = (
+                g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                .limit(local_threshold + 1)
+                .toPandas()
             )
-            return cut_lineage(out, tag="result", keep_last=64)
+            if len(probe) <= local_threshold:
+                labels = _local_union_find(g.edges.sparkSession, probe)
+                if g.vertices is None:
+                    # every vertex id is an edge endpoint (self-loop-only
+                    # included): the LocalRelation already covers the full
+                    # vertex set — no join, no result cut
+                    return labels
+                all_v = g.vertex_ids()
+                out = all_v.join(labels, "v", "left").select(
+                    "v", F.coalesce("component", F.col("v")).alias("component")
+                )
+                return cut_lineage(out, tag="result", keep_last=64)
+        # distributed path, ONE evaluation of the (possibly heavy,
+        # unpersisted) edge pipeline: the deduped pair table is cut FIRST —
+        # KEEPING self-loop rows so it doubles as the vertex universe — and
+        # every later consumer (the id-bound stats, the star rounds'
+        # non-self input, the final vertex attach) reads the small parquet.
+        # The old flow evaluated the pipeline three times (stats, cut,
+        # vertex_ids); durable runs keep the old shape (resume must not
+        # depend on a scratch-rotation table).
+        if run_dir is None:
+            pairs_all = cut_lineage(
+                g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                .distinct(),
+                tag="cc_pairs_all",
+            )
+            pstats_src = pairs_all.agg(
+                F.min(F.least("u", "v")).alias("min_id"),
+                F.max(F.greatest("u", "v")).alias("max_id"),
+            )
+        else:
+            pstats_src = g.edges.agg(
+                F.min(F.least("src", "dst")).alias("min_id"),
+                F.max(F.greatest("src", "dst")).alias("max_id"),
+            )
+        pstats = pstats_src.collect()[0]
         if ids32 is None:
             ids32 = True
         min_id = pstats["min_id"] if pstats["min_id"] is not None else 0
@@ -218,6 +255,8 @@ def connected_components(
         ids32 = bool(
             ids32 and -(1 << 31) <= min_id and max_id < (1 << 31) - 1
         )
+        if pairs_all is not None:
+            pairs = pairs_all.filter(F.col("u") != F.col("v"))
     else:
         ids32 = False
 
@@ -261,48 +300,63 @@ def connected_components(
                 F.col("u").cast("int").alias("u"),
                 F.col("v").cast("int").alias("v"),
             )
-        pairs = cut_lineage(pairs, tag="cc_pairs")
+        if pairs_all is None:
+            pairs = cut_lineage(pairs, tag="cc_pairs")
+        # else: pairs is already a cheap filter+cast projection over the
+        # cc_pairs_all cut parquet — a second materializing cut would be a
+        # pure extra write+read job
         prev = _checksum(pairs)  # once, against the cut parquet — cheap
-        for step in range(start, max_iters):
-            pairs = _small_star(_large_star(pairs, dedup=False))
-            if (step + 1) % max(1, check_every) != 0:
-                continue
-            # convergence checksum rides the round's single materializing
-            # action as observed metrics (CollectMetrics on the state
-            # plan). Scratch rounds localCheckpoint — materialize + plan
-            # truncation with no parquet round-trip (a star round
-            # references its input several times, so truncation is
-            # required either way); durable runs commit through the
-            # runner so every superstep is resumable.
-            obs = Observation()
-            observed = pairs.observe(obs, *_checksum_aggs())
-            if run_dir is not None:
-                pairs = runner.commit(step, observed, {"op": "cc_star"})
-            else:
-                pairs = observed.localCheckpoint(eager=True)
-                runner.history.append({"op": "cc_star", "step": step})
-            m = read_observation(obs)
-            if m is not None:
-                cur = (m["n"], m["h"])
-            else:
-                # AQE empty-relation propagation can prune CollectMetrics
-                # when the plan goes runtime-empty; re-derive from the
-                # committed parquet (one cheap scan)
-                cur = _checksum(pairs)
-            if cur == prev or cur[0] == 0:
-                break
-            prev = cur
-            if freeze:
-                # split off this round's leaves — lazy plans over the
-                # MATERIALIZED round output (checkpoint or committed
-                # parquet leaf), so the split folds into the next round's
-                # single action and each frozen batch re-reads only the
-                # leaf at resolution time. The split runs AFTER the
-                # commit, so durable state stays pre-split and resume can
-                # rederive every batch (see the resume branch above).
-                singles = _leaf_singles(pairs)
-                frozen_batches.append(singles)
-                pairs = pairs.join(singles.select("u"), "u", "left_anti")
+        # tiny round loops skip adaptive re-planning: at <= 2M 16-byte
+        # pairs there is no skew to split and nothing worth coalescing,
+        # but every per-round stage still pays the AQE round-trip (same
+        # rationale and pattern as multiphase._aqe_off_for_small; at
+        # scale the gate never fires and AQE keeps the rounds safe)
+        from grappolo_spark.operators.multiphase import _aqe_off_for_small
+
+        with _aqe_off_for_small(
+            g.edges.sparkSession, prev[0], threshold=2_000_000
+        ):
+            for step in range(start, max_iters):
+                pairs = _small_star(_large_star(pairs, dedup=False))
+                if (step + 1) % max(1, check_every) != 0:
+                    continue
+                # convergence checksum rides the round's single
+                # materializing action as observed metrics (CollectMetrics
+                # on the state plan). Scratch rounds localCheckpoint —
+                # materialize + plan truncation with no parquet round-trip
+                # (a star round references its input several times, so
+                # truncation is required either way); durable runs commit
+                # through the runner so every superstep is resumable.
+                obs = Observation()
+                observed = pairs.observe(obs, *_checksum_aggs())
+                if run_dir is not None:
+                    pairs = runner.commit(step, observed, {"op": "cc_star"})
+                else:
+                    pairs = observed.localCheckpoint(eager=True)
+                    runner.history.append({"op": "cc_star", "step": step})
+                m = read_observation(obs)
+                if m is not None:
+                    cur = (m["n"], m["h"])
+                else:
+                    # AQE empty-relation propagation can prune
+                    # CollectMetrics when the plan goes runtime-empty;
+                    # re-derive from the committed parquet (one cheap scan)
+                    cur = _checksum(pairs)
+                if cur == prev or cur[0] == 0:
+                    break
+                prev = cur
+                if freeze:
+                    # split off this round's leaves — lazy plans over the
+                    # MATERIALIZED round output (checkpoint or committed
+                    # parquet leaf), so the split folds into the next
+                    # round's single action and each frozen batch re-reads
+                    # only the leaf at resolution time. The split runs
+                    # AFTER the commit, so durable state stays pre-split
+                    # and resume can rederive every batch (see the resume
+                    # branch above).
+                    singles = _leaf_singles(pairs)
+                    frozen_batches.append(singles)
+                    pairs = pairs.join(singles.select("u"), "u", "left_anti")
         # final pairs form star(s): v -> component root (min id)
         labels = pairs.select(F.col("u").alias("v"), F.col("v").alias("component"))
         roots = pairs.select(F.col("v").alias("v")).distinct().select(
@@ -363,7 +417,21 @@ def connected_components(
         raise ValueError(f"unknown method {method!r}")
 
     # attach isolated vertices (their own component)
-    all_v = g.vertex_ids()
+    if pairs_all is not None:
+        # vertex universe from the cut pair parquet (self-loop rows were
+        # kept, so every edge endpoint is covered) instead of a fourth
+        # evaluation of the heavy edge pipeline
+        all_v = (
+            pairs_all.select(F.col("u").alias("v"))
+            .union(pairs_all.select(F.col("v").alias("v")))
+            .distinct()
+        )
+        if g.vertices is not None:
+            all_v = all_v.union(
+                g.vertices.select(F.col("v").cast("long"))
+            ).distinct()
+    else:
+        all_v = g.vertex_ids()
     out = all_v.join(labels, "v", "left").select(
         "v", F.coalesce("component", F.col("v")).alias("component")
     )

@@ -21,29 +21,32 @@ from grappolo_spark.plans.iteration import (
 )
 
 
-def _local_lpa(g: Graph, max_iters: int, stop_on_converge: bool) -> DataFrame:
+def _local_lpa(g: Graph, max_iters: int, stop_on_converge: bool, pdf) -> DataFrame:
     """Driver-local replay of the identical iteration for small graphs:
     same gather (sum weight per neighbor label), same (weight desc, label
     asc) argmax, same Jacobi update and convergence stop. Exact for
     integer-valued weights (the engine's count-weighted graphs); real
-    weights may differ in the last ulp of summed ties."""
+    weights may differ in the last ulp of summed ties.
+
+    ``pdf`` is the caller's ONE collected edge pass (src, dst, weight),
+    UNFILTERED: self-loop rows are dropped here in numpy, but their
+    endpoints still register in ``ids`` (a vertex with only self-loops has
+    no gather rows and keeps its own label) — so the output covers every
+    edge endpoint and the caller needs no separate vertex_ids() pass."""
     import numpy as np
     import pandas as pd
 
     spark = g.edges.sparkSession
-    pdf = (
-        g.edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", "weight")
-        .toPandas()
-    )
     if not len(pdf):
         return spark.createDataFrame([], "v long, label long")
     src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
     w = pdf["weight"].to_numpy(dtype=np.float64)
     ids = np.unique(np.concatenate([src, dst]))
-    s = np.searchsorted(ids, src)
-    d = np.searchsorted(ids, dst)
+    m = src != dst
+    s = np.searchsorted(ids, src[m])
+    d = np.searchsorted(ids, dst[m])
+    w = w[m]
     nv = len(ids)
     labels = np.arange(nv, dtype=np.int64)
     from grappolo_spark.operators.louvain import _first_group_starts
@@ -97,18 +100,40 @@ def label_propagation(
     winners are identical (integer counts, same tie-break ordering).
     """
     spark = g.edges.sparkSession
-    if (
-        run_dir is None
-        and local_threshold > 0
-        and g.edges.count() <= local_threshold
-    ):
-        labels = _local_lpa(g, max_iters, stop_on_converge)
-        out = g.vertex_ids().join(labels, "v", "left").select(
-            "v", F.coalesce("label", F.col("v")).alias("label")
+    if run_dir is None and local_threshold > 0:
+        # probe-and-collect in ONE evaluation of the (unpersisted) edge
+        # pipeline: limit(threshold+1) caps the driver transfer, and when
+        # the graph is under the bound the probe IS the collect — the old
+        # flow evaluated the pipeline up to four times (count gate, the
+        # filtered collect, and vertex_ids' two-scan union)
+        probe = (
+            g.edges.select("src", "dst", "weight")
+            .limit(local_threshold + 1)
+            .toPandas()
         )
-        return cut_lineage(out, tag="result", keep_last=64)
+        if len(probe) <= local_threshold:
+            labels = _local_lpa(g, max_iters, stop_on_converge, probe)
+            if g.vertices is None:
+                # every vertex id is an edge endpoint (self-loop-only
+                # vertices included — see _local_lpa): the LocalRelation
+                # already covers the full vertex set, no join, no cut
+                return labels
+            out = g.vertex_ids().join(labels, "v", "left").select(
+                "v", F.coalesce("label", F.col("v")).alias("label")
+            )
+            return cut_lineage(out, tag="result", keep_last=64)
 
-    vstats = g.vertex_ids().agg(
+    # ONE evaluation of the (possibly heavy, unpersisted) edge pipeline for
+    # the O(V) side: the vertex table is cut first, then the stats agg and
+    # the label init both read the small parquet. Durable runs keep the old
+    # shape (resume state must not depend on a scratch-rotation file).
+    ids_cut = None
+    if run_dir is None:
+        ids_cut = cut_lineage(g.vertex_ids(), tag="lpa_ids")
+        vstats_src = ids_cut
+    else:
+        vstats_src = g.vertex_ids()
+    vstats = vstats_src.agg(
         F.count(F.lit(1)).alias("nv"),
         F.min("v").alias("min_id"),
         F.max("v").alias("max_id"),
@@ -120,10 +145,13 @@ def label_propagation(
         ids32 = bool(broadcast_labels)
     min_id = vstats["min_id"] if vstats["min_id"] is not None else 0
     max_id = vstats["max_id"] if vstats["max_id"] is not None else 0
+    # strict lower bound: the tie-break negates the int32 label inside the
+    # max_by struct, and -INT32_MIN wraps under non-ANSI Spark — a vertex id
+    # of exactly -2^31 must keep the long path
     ids32 = bool(
         ids32
         and broadcast_labels
-        and -(1 << 31) <= min_id
+        and -(1 << 31) < min_id
         and max_id < (1 << 31) - 1
     )
 
@@ -148,12 +176,16 @@ def label_propagation(
 
     runner = SuperstepRunner(spark, run_dir)
     start, resumed = runner.resume()
-    labels = (
-        resumed
-        if resumed is not None
-        else g.vertex_ids().select("v", F.col("v").alias("label"))
-    )
-    labels = cut_lineage(labels, tag="lpa")
+    if resumed is not None:
+        labels = cut_lineage(resumed, tag="lpa")
+    elif ids_cut is not None:
+        # projection over the lpa_ids cut parquet: already a truncated
+        # leaf, no second O(V) write+read job
+        labels = ids_cut.select("v", F.col("v").alias("label"))
+    else:
+        labels = cut_lineage(
+            g.vertex_ids().select("v", F.col("v").alias("label")), tag="lpa"
+        )
 
     for step in range(start, max_iters):
         if ids32:

@@ -67,14 +67,28 @@ def pagerank(
     The shuffle path (bucketed long state cuts) never narrows.
     """
     spark = g.edges.sparkSession
-    verts = g.vertex_ids()
-    vstats = verts.agg(
+    wout = g.edges.groupBy(F.col("src").alias("v")).agg(F.sum("weight").alias("wout"))
+    # a symmetrized table with no explicit vertices lists every vertex as
+    # src, so the wout aggregation's key set IS the vertex set: base = wout
+    # directly, persisted first so the id-stats agg rides the cache
+    # materialization — removes the two-scan union + distinct + O(V) left
+    # join the generic path pays (guide §2.4: drop redundant exchanges)
+    sym_complete = not g.directed and g.vertices is None
+    if sym_complete:
+        base = wout.persist()
+        vstats_src = base
+    else:
+        verts = g.vertex_ids()
+        vstats_src = verts
+    vstats = vstats_src.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("min_id"),
         F.max("v").alias("max_id"),
     ).collect()[0]
     n = vstats["n"]
     if n == 0:
+        if sym_complete:
+            base.unpersist()
         return spark.createDataFrame([], "v long, rank double")
     if broadcast_ranks is None:
         broadcast_ranks = n <= broadcast_max_vertices
@@ -89,7 +103,6 @@ def pagerank(
         and max_id < (1 << 31) - 1
     )
 
-    wout = g.edges.groupBy(F.col("src").alias("v")).agg(F.sum("weight").alias("wout"))
     if ids32:
         # cast BOTH build inputs before the join, not the join output: the
         # persisted base then carries hashpartitioning on the int v
@@ -98,12 +111,19 @@ def pagerank(
         # post-join cast would make v a derived attribute, void the cached
         # partitioning, and re-exchange base every superstep — measured
         # 1.4x SLOWER than the long plan before this ordering fix.
-        verts = verts.select(F.col("v").cast("int").alias("v"))
         wout = wout.select(F.col("v").cast("int").alias("v"), "wout")
-    base = verts.join(wout, "v", "left").select(
-        "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
-    )
-    base = base.persist()
+        if sym_complete:
+            # rare explicit-opt-in rebuild: the cast must sit below the
+            # persist so the cache carries the int attribute
+            base.unpersist()
+            base = wout.persist()
+    if not sym_complete:
+        verts_b = (
+            verts.select(F.col("v").cast("int").alias("v")) if ids32 else verts
+        )
+        base = verts_b.join(wout, "v", "left").select(
+            "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
+        ).persist()
     # weight ≡ 1.0 invariant (Graph.unweighted): the superstep cache keeps
     # only (src, dst) — one third less cached/scanned width per superstep —
     # and the contribution skips the weight multiply (x·1.0 ≡ x, so the

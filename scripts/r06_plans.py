@@ -1,0 +1,180 @@
+"""Capture .explain('formatted') plans for the round-6 optimization targets.
+
+Usage: python scripts/r06_plans.py before|after [query ...]
+
+Writes plans/r06/<query>_<suffix>.txt. Iterative kernels' per-superstep
+plans are mirrored from the operator code the same way the repo's plan
+tests do (tests/test_round5_fixes.py), so the files show the exact join/
+aggregation chain the loop compiles each iteration; result-level plans are
+captured from the real query functions.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06"
+)
+
+
+def grab(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main(argv: list[str]) -> int:
+    suffix = argv[0]
+    only = set(argv[1:])
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as M
+    from grappolo_spark.session import get_spark
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="r06-plans", master="local[8]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections: dict[str, str] = {}
+
+    # ---- graph build ----------------------------------------------------
+    cs = M.build_cs_graph(spark, sf)
+    sections["graph_build"] = grab(cs.edges)
+
+    # ---- vertex_ids (shared by pagerank/cc/lpa/multiphase state init) ---
+    sections["vertex_ids"] = grab(cs.vertex_ids())
+
+    # ---- pagerank: base table + one superstep ---------------------------
+    from grappolo_spark.operators import pagerank as PR
+
+    base_probe = {}
+
+    real_persist_pr = None
+
+    def _capture_pagerank():
+        # mirror of pagerank()'s base/superstep construction (operators/
+        # pagerank.py) on the broadcast path
+        g = cs
+        wout = g.edges.groupBy(F.col("src").alias("v")).agg(
+            F.sum("weight").alias("wout")
+        )
+        if suffix == "after":
+            base = wout  # sym_complete: base IS the wout aggregation
+        else:
+            verts = g.vertex_ids()
+            base = verts.join(wout, "v", "left").select(
+                "v", F.coalesce("wout", F.lit(0.0)).alias("wout")
+            )
+        base = base.persist()
+        base.count()
+        edges = g.edges.repartition("dst").persist()
+        edges.count()
+        ranks = base.select("v", F.lit(1.0).alias("rank"), "wout")
+        contribs = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.v)
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("rank") * F.col("weight") / F.col("wout")).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_contrib"))
+        )
+        new = base.join(contribs, "v", "left").select(
+            "v",
+            (
+                F.lit(0.15) + F.lit(0.85) * F.coalesce("in_contrib", F.lit(0.0))
+            ).alias("rank"),
+            "wout",
+        )
+        sections["pagerank_base"] = grab(base)
+        sections["pagerank_superstep"] = grab(new)
+        base.unpersist()
+        edges.unpersist()
+
+    _capture_pagerank()
+
+    # ---- cc star round --------------------------------------------------
+    from grappolo_spark.operators.components import _large_star, _small_star
+
+    parts = M.build_parts_graph(spark, sf)
+    pairs = (
+        parts.edges.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    sections["cc_star_round"] = grab(_small_star(_large_star(pairs, dedup=False)))
+
+    # ---- louvain gather superstep (broadcast layout, as in the kernel) --
+    edges = cs.edges.repartition("src").persist()
+    edges.count()
+    assign = cs.vertex_ids().select("v", F.col("v").alias("comm"))
+    a_dst = assign.select(F.col("v").alias("dst"), F.col("comm").alias("comm_dst"))
+    gathered = edges.join(F.broadcast(a_dst), "dst").select(
+        F.col("src").alias("v"), F.col("comm_dst").alias("cand"), "weight"
+    )
+    counter = gathered.groupBy("v", "cand").agg(F.sum("weight").alias("wsum"))
+    best = counter.groupBy("v").agg(
+        F.min_by(
+            F.struct("cand", "wsum"), F.struct(-F.col("wsum"), F.col("cand"))
+        ).alias("b")
+    )
+    sections["louvain_gather"] = grab(best)
+    edges.unpersist()
+
+    # ---- LPA superstep (forced distributed, broadcast layout) -----------
+    lp_pairs = (
+        parts.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .repartition("src")
+        .persist()
+    )
+    lp_pairs.count()
+    labels = parts.vertex_ids().select("v", F.col("v").alias("label"))
+    freq = (
+        lp_pairs.join(F.broadcast(labels), lp_pairs.dst == labels.v)
+        .groupBy(F.col("src").alias("vv"), "label")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    lp_best = freq.groupBy("vv").agg(
+        F.max_by("label", F.struct(F.col("w"), -F.col("label"))).alias("new_label")
+    )
+    sections["lpa_superstep"] = grab(lp_best)
+    lp_pairs.unpersist()
+
+    # ---- triangle count -------------------------------------------------
+    from grappolo_spark.operators.triangles import triangle_count
+
+    sections["triangle_count"] = grab(triangle_count(parts, per_vertex=True))
+
+    # ---- dedup minhash / ann -------------------------------------------
+    from grappolo_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sections["dedup_minhash_lsh"] = grab(
+        minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    )
+
+    for name, text in sections.items():
+        if only and name not in only:
+            continue
+        path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(text)
+        print(f"wrote {path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
