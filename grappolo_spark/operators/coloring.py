@@ -341,6 +341,121 @@ def _class_best_moves(counter, state0, cinfo_cand, const: float):
 _SMALL_STATE_MAX = 100_000
 
 
+def _xxh64_long_np(x, seed: int):
+    """Vectorized XXH64 of an 8-byte little-endian value (Spark's
+    ``xxhash64`` over one LongType column) — bit-exact mirror of
+    ``tests/xxh64_oracle.py``'s n=8 path, in uint64 numpy (all arithmetic
+    wraps mod 2^64 exactly like the reference implementation)."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(v, r):
+        r = np.uint64(r)
+        return (v << r) | (v >> (np.uint64(64) - r))
+
+    def fmix(h):
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+        return h
+
+    x = x.astype(np.uint64)
+    h = np.uint64(seed & ((1 << 64) - 1)) + P5 + np.uint64(8)
+    k = rotl(x * P2, 31) * P1
+    h = np.broadcast_to(h, x.shape).copy()
+    h ^= k
+    h = rotl(h, 27) * P1 + P4
+    return fmix(h)
+
+
+def _xxh64_int_lit_np(lit: int, seed_arr):
+    """Fold a 4-byte IntegerType literal into per-element running hashes —
+    the second step of ``F.xxhash64(long_col, F.lit(small_int))``."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(v, r):
+        r = np.uint64(r)
+        return (v << r) | (v >> (np.uint64(64) - r))
+
+    def fmix(h):
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+        return h
+
+    h = seed_arr + P5 + np.uint64(4)
+    # the literal's P1 multiple is computed in python ints (numpy SCALAR
+    # uint64 arithmetic warns on overflow; array ops wrap silently)
+    lit_p1 = np.uint64(
+        ((lit & 0xFFFFFFFF) * 0x9E3779B185EBCA87) & ((1 << 64) - 1)
+    )
+    h = h ^ lit_p1
+    h = rotl(h, 23) * P2 + P3
+    return fmix(h)
+
+
+def _multihash_colors_np(ids, s_idx, d_idx, nhash=2, nrounds=4, seed=999):
+    """Numpy replay of :func:`multihash_coloring` for driver-held graphs:
+    identical colors (the hash is the bit-exact Spark ``xxhash64`` of the
+    vertex id long with the 4-byte ``seed + ih`` literal folded in, and
+    the local-max/min rule is evaluated in the same signed order).
+
+    ``ids``: sorted vertex ids (all edge endpoints); ``s_idx``/``d_idx``:
+    NON-SELF edge endpoint positions into ids (both directions present,
+    duplicates harmless). Returns an int32 color array over ids; vertices
+    never claimed by a round keep the shared overflow color, exactly like
+    the Spark loop's trailing coalesce."""
+    import numpy as np
+
+    assert 0 <= seed and seed + nhash < (1 << 31), "numpy path needs int lits"
+    n = len(ids)
+    base = _xxh64_long_np(ids, 42)
+    hashes = [
+        _xxh64_int_lit_np(seed + ih, base).view(np.int64) for ih in range(nhash)
+    ]
+    color = np.full(n, -1, dtype=np.int32)
+    max_color = 2 * nhash * nrounds
+    i64 = np.iinfo(np.int64)
+    done = False
+    for itr in range(nrounds):
+        if done:
+            break
+        for ih in range(nhash):
+            unc = color < 0
+            if not unc.any():
+                done = True
+                break
+            h = hashes[ih]
+            live = unc[s_idx] & unc[d_idx]
+            lu, lv = s_idx[live], d_idx[live]
+            has = np.zeros(n, dtype=bool)
+            has[lu] = True
+            nmax = np.full(n, i64.min, dtype=np.int64)
+            nmin = np.full(n, i64.max, dtype=np.int64)
+            np.maximum.at(nmax, lu, h[lv])
+            np.minimum.at(nmin, lu, h[lv])
+            even = unc & (~has | (h > nmax))
+            odd = unc & has & (h < nmin)
+            color[even] = 2 * (itr * nhash + ih)
+            color[odd] = 2 * (itr * nhash + ih) + 1
+    color[color < 0] = max_color
+    return color
+
+
 # edge-row bound for holding a (src, dst, weight) copy on the driver in
 # small-state mode: ~4M rows ≈ 100 MB of numpy — the per-iteration
 # modularity e_xx then reduces in numpy instead of one full-scan Spark job
@@ -546,40 +661,22 @@ def louvain_one_phase_colored(
     # overflow merge below). With an injected coloring the sweep order is
     # fully deterministic and SQL-expressible, which is how the driver
     # value-oracles one colored Gauss-Seidel iteration.
-    if colors is None:
-        if coloring_algo == "auto":
-            coloring_algo = select_coloring_algo(g, num_colors_cap)
-        if coloring_algo == "multihash":
-            colors = multihash_coloring(g)
-        else:
-            colors = distance_one_coloring(g)
-    all_colors = [
-        r.color
-        for r in colors.select("color").distinct().orderBy("color").collect()
-    ]
-    if len(all_colors) > num_colors_cap:
-        # hub graphs can exceed the palette cap (reference bounds colors by
-        # MaxDegree, `runMultiPhaseColoring.cpp:68-87`); rather than freeze
-        # the overflow vertices, merge all colors past the cap into ONE
-        # final class — within it vertices may be adjacent, so that
-        # sub-sweep is Jacobi (simultaneous moves vs the current state,
-        # exactly the plain kernel's semantics); every vertex stays eligible
-        overflow_from = all_colors[num_colors_cap - 1]
-        colors = colors.select(
-            "v",
-            F.when(F.col("color") >= overflow_from, F.lit(overflow_from))
-            .otherwise(F.col("color"))
-            .cast("int")
-            .alias("color"),
-        )
-        classes = all_colors[: num_colors_cap - 1] + [overflow_from]
-    else:
-        classes = all_colors
-
     small_hint = nv_hint is not None and nv_hint <= _SMALL_STATE_MAX
     gather_key = "src" if small_hint else "dst"
     if small_hint:
-        edges = g.edges.repartition(4, gather_key).persist()
+        # partition count follows the INPUT's layout, not a constant:
+        # small state does not imply small edges (a 16k-vertex phase-1
+        # graph can carry millions of rows — 4 fat partitions left most
+        # cores idle in every sequential class job), while a tiny coarse
+        # parquet stays at its few file splits
+        npart = max(
+            4,
+            min(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                g.edges.rdd.getNumPartitions(),
+            ),
+        )
+        edges = g.edges.repartition(npart, gather_key).persist()
     else:
         edges = g.edges.repartition(gather_key).persist()
     vdeg = g.degrees().select("v", "deg").persist()
@@ -593,11 +690,146 @@ def louvain_one_phase_colored(
         empty = spark.createDataFrame([], "v long, comm long")
         return LouvainPhaseResult(empty, 0.0, 0)
     const = 1.0 / two_m
+
+    # driver-held edge copy for small graphs: collected ONCE off the
+    # persisted cache and reused by the coloring (numpy multihash), the
+    # state build (degrees/self-loops via bincount — exact for the
+    # engine's integer-valued weights, the same argument as the rest of
+    # the small-state path) and the per-iteration e_xx reduction
+    edges_np = None
+    if small_hint and n_edge_rows <= _SMALL_EDGES_MAX:
+        import numpy as np
+
+        epdf = edges.select("src", "dst", "weight").toPandas()
+        edges_np = (
+            epdf["src"].to_numpy(np.int64),
+            epdf["dst"].to_numpy(np.int64),
+            epdf["weight"].to_numpy(np.float64),
+        )
+
+    colors_np = None  # (ids array, int32 colors) when colored in numpy
+    ids = None
+    if colors is None and edges_np is not None and g.vertices is None:
+        # numpy coloring path: zero Spark jobs for the whole palette —
+        # the multihash hash is the bit-exact Spark xxhash64 replay
+        # (pinned by test_multihash_numpy_matches_spark), so the colors,
+        # the class list and every later move are identical
+        import numpy as np
+
+        es, ed, _ = edges_np
+        ids = np.unique(np.concatenate([es, ed]))
+        if len(ids) > _SMALL_STATE_MAX:
+            # nv_hint undersold the vertex count (public caller): fall
+            # back to the probed Spark path rather than trust the hint
+            ids = None
+    if colors is None and edges_np is not None and g.vertices is None and ids is not None:
+        s_idx = np.searchsorted(ids, es)
+        d_idx = np.searchsorted(ids, ed)
+        nonself = s_idx != d_idx
+        if coloring_algo == "auto":
+            # select_coloring_algo's max NON-SELF out-degree, in numpy
+            maxdeg = (
+                int(np.bincount(s_idx[nonself], minlength=len(ids)).max())
+                if nonself.any()
+                else 0
+            )
+            coloring_algo = (
+                "multihash" if maxdeg + 1 > num_colors_cap else "distance_one"
+            )
+        if coloring_algo == "multihash":
+            colors_np = (
+                ids,
+                _multihash_colors_np(ids, s_idx[nonself], d_idx[nonself]),
+            )
+    if colors is None and colors_np is None:
+        if coloring_algo == "auto":
+            coloring_algo = select_coloring_algo(g, num_colors_cap)
+        if coloring_algo == "multihash":
+            colors = multihash_coloring(g)
+        else:
+            colors = distance_one_coloring(g)
+
+    if colors_np is not None:
+        import numpy as np
+
+        all_colors = [int(c) for c in np.unique(colors_np[1])]
+    else:
+        all_colors = [
+            r.color
+            for r in colors.select("color").distinct().orderBy("color").collect()
+        ]
+    if len(all_colors) > num_colors_cap:
+        # hub graphs can exceed the palette cap (reference bounds colors by
+        # MaxDegree, `runMultiPhaseColoring.cpp:68-87`); rather than freeze
+        # the overflow vertices, merge all colors past the cap into ONE
+        # final class — within it vertices may be adjacent, so that
+        # sub-sweep is Jacobi (simultaneous moves vs the current state,
+        # exactly the plain kernel's semantics); every vertex stays eligible
+        overflow_from = all_colors[num_colors_cap - 1]
+        if colors_np is not None:
+            import numpy as np
+
+            cvals = colors_np[1].copy()
+            cvals[cvals >= overflow_from] = overflow_from
+            colors_np = (colors_np[0], cvals)
+        else:
+            colors = colors.select(
+                "v",
+                F.when(F.col("color") >= overflow_from, F.lit(overflow_from))
+                .otherwise(F.col("color"))
+                .cast("int")
+                .alias("color"),
+            )
+        classes = all_colors[: num_colors_cap - 1] + [overflow_from]
+    else:
+        classes = all_colors
+
     selfw = (
         edges.filter(F.col("src") == F.col("dst"))
         .groupBy(F.col("src").alias("v"))
         .agg(F.sum("weight").alias("selfloop"))
     )
+
+    if colors_np is not None:
+        # state built driver-side from the one edge collect: degrees and
+        # self-loop weights via bincount (exact for integer-valued
+        # weights; real weights may differ from the Spark sum order in
+        # the last ulp — the documented small-path caveat), colors
+        # attached positionally. No probe, no state join jobs.
+        import numpy as np
+        import pandas as pd
+
+        es, ed, ew = edges_np
+        ids, cvals = colors_np
+        s_idx = np.searchsorted(ids, es)
+        deg_np = np.bincount(s_idx, weights=ew, minlength=len(ids))
+        sl_mask = es == ed
+        self_np = np.bincount(
+            s_idx[sl_mask], weights=ew[sl_mask], minlength=len(ids)
+        )
+        probe = pd.DataFrame(
+            {
+                "v": ids,
+                "comm": ids,
+                "deg": deg_np,
+                "selfloop": self_np,
+                "color": cvals,
+            }
+        )
+        vdeg.unpersist()
+        # the small-state sweep's class jobs are exchange-free (src-
+        # partitioned cache + broadcast LocalRelations), so adaptive
+        # re-planning is pure per-job driver latency here — same gate as
+        # multiphase._aqe_off_for_small, keyed on the actual state size
+        from grappolo_spark.operators.multiphase import _aqe_off_for_small
+
+        with _aqe_off_for_small(spark, len(probe), threshold=_SMALL_STATE_MAX):
+            res = _colored_small_state(
+                spark, edges, probe, classes, const, two_m, thresh, lower,
+                max_iters, edges_np=edges_np,
+            )
+        edges.unpersist()
+        return res
 
     # one combined per-vertex state table: (v, comm, deg, selfloop, color)
     state = (
@@ -618,8 +850,7 @@ def louvain_one_phase_colored(
     probe = state.limit(_SMALL_STATE_MAX + 1).toPandas()
     if len(probe) <= _SMALL_STATE_MAX:
         vdeg.unpersist()
-        edges_np = None
-        if n_edge_rows <= _SMALL_EDGES_MAX:
+        if edges_np is None and n_edge_rows <= _SMALL_EDGES_MAX:
             import numpy as np
 
             epdf = edges.select("src", "dst", "weight").toPandas()
@@ -628,10 +859,17 @@ def louvain_one_phase_colored(
                 epdf["dst"].to_numpy(np.int64),
                 epdf["weight"].to_numpy(np.float64),
             )
-        res = _colored_small_state(
-            spark, edges, probe, classes, const, two_m, thresh, lower,
-            max_iters, edges_np=edges_np,
-        )
+        # the small-state sweep's class jobs are exchange-free (src-
+        # partitioned cache + broadcast LocalRelations), so adaptive
+        # re-planning is pure per-job driver latency here — same gate as
+        # multiphase._aqe_off_for_small, keyed on the actual state size
+        from grappolo_spark.operators.multiphase import _aqe_off_for_small
+
+        with _aqe_off_for_small(spark, len(probe), threshold=_SMALL_STATE_MAX):
+            res = _colored_small_state(
+                spark, edges, probe, classes, const, two_m, thresh, lower,
+                max_iters, edges_np=edges_np,
+            )
         edges.unpersist()
         return res
     # distributed branch (>100k state rows): bucket the per-class state

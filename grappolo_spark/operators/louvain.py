@@ -505,6 +505,204 @@ def louvain_local_tail(
     return out, prev_mod, num_clusters, phase, tot_itr, history
 
 
+# state rows at or below this bound run the plain Jacobi sweep with
+# driver-held community state: the gather/argmax stays in Spark over the
+# persisted edge cache (the O(E) side never moves), but the O(V) state
+# crosses the boundary as broadcast LocalRelations in and one O(V) winner
+# collect out — replacing the per-iteration parquet commit, the
+# cinfo/state Spark joins and the observation machinery, which at small
+# |V| are pure driver plan-compile and job-latency floor (the same
+# structure as coloring._colored_small_state, which the round-5 A/Bs
+# proved out). Identical results: integer-valued weights make every
+# aggregate exact, and the score/gain/tie-break expressions are the same
+# column expressions the distributed loop compiles.
+_SMALL_STATE_MAX = 100_000
+
+
+def _small_state_phase(
+    spark,
+    edges,
+    e_cold,
+    vdeg,
+    selfw,
+    const: float,
+    two_m: float,
+    nv_seen: int,
+    thresh: float,
+    lower: float,
+    max_iters: int,
+    init_assign,
+    smart_init: bool,
+    ids32: bool,
+    unweighted: bool,
+):
+    """Driver-held-state Jacobi kernel (see _SMALL_STATE_MAX note).
+
+    One Spark action per iteration: the fused gather→argmax job over the
+    persisted edge cache, collecting O(V) winner rows. Community
+    aggregates (cdeg/csize), the gain formula and the move/termination
+    logic run in numpy with the exact expressions and lag structure of
+    the distributed loop (and of ``_local_kernel``), so results are
+    bit-identical on integer-valued weights.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # one O(V) collect: per-vertex degree + self-loop weight
+    st = (
+        vdeg.join(selfw, "v", "left")
+        .select("v", "deg", F.coalesce("selfloop", F.lit(0.0)).alias("selfloop"))
+        .toPandas()
+        .sort_values("v", kind="mergesort", ignore_index=True)
+    )
+    vs = st["v"].to_numpy(np.int64)
+    deg = st["deg"].to_numpy(np.float64)
+    selfloop = st["selfloop"].to_numpy(np.float64)
+    nv = len(vs)
+    if nv == 0:
+        return LouvainPhaseResult(
+            spark.createDataFrame([], "v long, comm long"), 0.0, 0,
+            two_m=two_m, num_vertices=nv_seen,
+        )
+
+    if init_assign is not None:
+        ip = init_assign.select("v", "comm").toPandas()
+        imap = dict(zip(ip["v"].tolist(), ip["comm"].tolist()))
+        comm = np.array([imap.get(int(v), int(v)) for v in vs], dtype=np.int64)
+    elif smart_init:
+        # the SHARED one-pass initCommAssOpt sweep, one extra Spark job
+        # per phase (collected O(V) winners; cand < v already applied)
+        bp = _singleton_sweep_best(e_cold, vdeg, const).toPandas()
+        comm = vs.copy()
+        if len(bp):
+            idx = np.searchsorted(vs, bp["v"].to_numpy(np.int64))
+            comm[idx] = bp["cand"].to_numpy(np.int64)
+    else:
+        comm = vs.copy()
+
+    id_t = np.int32 if ids32 else np.int64
+    id_sql = "int" if ids32 else "long"
+    wsum_agg = (
+        F.count(F.lit(1)).cast("double").alias("wsum")
+        if unweighted
+        else F.sum("weight").alias("wsum")
+    )
+
+    prev_comm = comm
+    prev_mod = -1.0
+    num_itrs = 0
+    for _ in range(max_iters):
+        num_itrs += 1
+        cu, inv = np.unique(comm, return_inverse=True)
+        cdeg = np.bincount(inv, weights=deg)
+        csize = np.bincount(inv).astype(np.int64)
+
+        # the one distributed job: gather + single-pass argmax/w_own over
+        # the src-partitioned cache, both O(V) sides broadcast in as
+        # LocalRelations typed to the cache's id attributes (ids32 keeps
+        # the exchange-free chain), winners collected out
+        state_src = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "src": vs.astype(id_t),
+                    "comm": comm.astype(id_t),
+                    "deg": deg,
+                }
+            ),
+            f"src {id_sql}, comm {id_sql}, deg double",
+        )
+        dst_enr = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "dst": vs.astype(id_t),
+                    "cand": comm.astype(id_t),
+                    "ay": cdeg[inv],
+                }
+            ),
+            f"dst {id_sql}, cand {id_sql}, ay double",
+        )
+        counter = (
+            edges.join(F.broadcast(state_src), "src")
+            .join(F.broadcast(dst_enr), "dst")
+            .groupBy(F.col("src").alias("v"), F.col("cand"))
+            .agg(
+                wsum_agg,
+                F.first("ay").alias("ay"),
+                F.first("deg").alias("deg"),
+                F.first("comm").alias("comm"),
+            )
+        )
+        bestinfo = (
+            counter.withColumn("is_own", F.col("cand") == F.col("comm"))
+            .withColumn(
+                "score",
+                F.col("wsum") - F.col("deg") * F.col("ay") * F.lit(const),
+            )
+            .groupBy("v")
+            .agg(
+                F.min_by(
+                    F.struct("cand", "wsum"),
+                    F.struct(
+                        F.when(F.col("is_own"), F.lit(float("inf")))
+                        .otherwise(-F.col("score"))
+                        .alias("ns"),
+                        F.col("cand"),
+                    ),
+                ).alias("b"),
+                F.sum(
+                    F.when(F.col("is_own"), F.col("wsum")).otherwise(F.lit(0.0))
+                ).alias("w_own"),
+            )
+        )
+        rows = bestinfo.select(
+            "v", F.col("b.cand").alias("cand"), F.col("b.wsum").alias("wsum"),
+            "w_own",
+        ).toPandas()
+
+        # pre-move modularity (same accounting as the fused observations)
+        e_xx = float(rows["w_own"].to_numpy(np.float64).sum()) if len(rows) else 0.0
+        a2_x = float((cdeg * cdeg).sum())
+        curr_mod = e_xx * const - a2_x * const * const
+        if (curr_mod - prev_mod) < thresh:
+            break
+
+        # gain of the single best candidate + move decision, numpy mirror
+        # of the distributed `moved`/`move_ok` expressions
+        best = np.full(nv, -1, dtype=np.int64)
+        if len(rows):
+            rv = np.searchsorted(vs, rows["v"].to_numpy(np.int64))
+            rcand = rows["cand"].to_numpy(np.int64)
+            rwsum = rows["wsum"].to_numpy(np.float64)
+            rwown = rows["w_own"].to_numpy(np.float64)
+            rcomm = comm[rv]
+            has_cand = rcand != rcomm
+            ay = cdeg[np.searchsorted(cu, rcand)]
+            eix = rwown - selfloop[rv]
+            ax = cdeg[inv[rv]] - deg[rv]
+            gain = 2.0 * (rwsum - eix) - 2.0 * deg[rv] * (ay - ax) * const
+            cand_csize = csize[np.searchsorted(cu, rcand)]
+            blocked = (
+                (cand_csize == 1) & (csize[inv[rv]] == 1) & (rcand > rcomm)
+            )
+            keep = has_cand & (gain > 0) & ~blocked
+            best[rv[keep]] = rcand[keep]
+
+        prev_mod = curr_mod if curr_mod > lower else lower
+        prev_comm = comm
+        comm = np.where(best >= 0, best, comm)
+
+    out = spark.createDataFrame(
+        pd.DataFrame({"v": vs, "comm": prev_comm}), "v long, comm long"
+    )
+    return LouvainPhaseResult(
+        assignment=out,
+        modularity=prev_mod,
+        iterations=num_itrs,
+        two_m=two_m,
+        num_vertices=nv_seen,
+    )
+
+
 def louvain_one_phase(
     g: Graph,
     thresh: float = 1e-6,
@@ -687,7 +885,19 @@ def louvain_one_phase(
             cols.append(F.col("weight"))
         e_base = e_base.select(*cols)
     if nv_hint is not None and nv_hint <= 100_000:
-        edges = e_base.repartition(4, gather_key).persist()
+        # follow the input's partitioning, bounded by the session's
+        # shuffle parallelism: small |V| does not imply small |E|, and a
+        # constant 4 starves the sequential superstep jobs of cores when
+        # the edge table is large; a tiny coarse parquet keeps its few
+        # splits
+        npart = max(
+            4,
+            min(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                g.edges.rdd.getNumPartitions(),
+            ),
+        )
+        edges = e_base.repartition(npart, gather_key).persist()
     else:
         edges = e_base.repartition(gather_key).persist()
     # cold-path adapter: the canonical (long src, long dst, weight) view
@@ -708,6 +918,38 @@ def louvain_one_phase(
         .groupBy(F.col("src").alias("v"))
         .agg(F.sum("weight").alias("selfloop"))
     )
+
+    # small-state fast path (see _SMALL_STATE_MAX): plain-variant phases
+    # with a driver-holdable O(V) state run the same supersteps with the
+    # state held in numpy — the gather/argmax stays in Spark over the
+    # persisted cache; one collect replaces commit+observe per iteration.
+    # Variants whose semantics live outside the plain sweep (sampling,
+    # early-terminate, FTR, durable run_dir, forced salting) keep the
+    # distributed loop, as does any state too big to hold.
+    if (
+        nv_seen is not None
+        and 0 < nv_seen <= _SMALL_STATE_MAX
+        and broadcast_assign
+        and not use_salting
+        and sample_fraction is None
+        and not early_terminate
+        and ftr_phase is None
+        and run_dir is None
+    ):
+        # the small-state supersteps are exchange-free (src-partitioned
+        # cache + broadcast LocalRelations), so adaptive re-planning is
+        # pure per-job driver latency — skip it for the sweep's jobs
+        from grappolo_spark.operators.multiphase import _aqe_off_for_small
+
+        with _aqe_off_for_small(spark, nv_seen, threshold=_SMALL_STATE_MAX):
+            res = _small_state_phase(
+                spark, edges, e_cold, vdeg, selfw, const, two_m, nv_seen,
+                thresh, lower, max_iters, init_assign, smart_init, ids32,
+                unweighted,
+            )
+        edges.unpersist()
+        vdeg_full.unpersist()
+        return res
 
     # with the broadcast gather OFF (billion-vertex assignments) the state
     # table is consumed by several v-keyed joins/aggs per superstep: commit

@@ -107,3 +107,129 @@ def test_louvain_explicit_ids32_with_bad_hints_falls_back(spark):
         g, max_iters=2, two_m_hint=two_m, nv_hint=4, ids32=True
     )
     assert _louvain_rows(hinted) == _louvain_rows(ref)
+
+
+def _phase_tuple(res):
+    return (
+        res.modularity,
+        res.iterations,
+        sorted((r["v"], r["comm"]) for r in res.assignment.collect()),
+    )
+
+
+def test_louvain_small_state_matches_distributed(spark, monkeypatch):
+    """The driver-held-state fast path must be bit-identical to the
+    distributed superstep loop (integer-valued weights => every aggregate
+    exact), including smart_init and a weighted graph."""
+    from grappolo_spark.operators import louvain as L
+    from grappolo_spark.sources.fixtures import grid3d, karate
+
+    weighted = Graph.from_pairs(
+        spark,
+        [(0, 1, 3.0), (1, 2, 2.0), (2, 0, 1.0), (3, 4, 5.0), (4, 5, 4.0),
+         (5, 3, 1.0), (2, 3, 1.0), (6, 6, 2.0), (7, 7, 1.0)],
+    )
+    for g in (karate(spark), grid3d(spark, 3, 3, 3), weighted):
+        for si in (False, True):
+            small = L.louvain_one_phase(g, max_iters=4, smart_init=si)
+            t_small = _phase_tuple(small)
+            monkeypatch.setattr(L, "_SMALL_STATE_MAX", 0)
+            dist = L.louvain_one_phase(g, max_iters=4, smart_init=si)
+            monkeypatch.undo()
+            assert t_small == _phase_tuple(dist), (si, g)
+
+
+def test_louvain_small_state_init_assign_matches(spark, monkeypatch):
+    from grappolo_spark.operators import louvain as L
+    from grappolo_spark.sources.fixtures import karate
+
+    g = karate(spark)
+    init = g.vertex_ids().select("v", (F.col("v") % 5).alias("comm"))
+    small = L.louvain_one_phase(g, max_iters=3, init_assign=init)
+    t_small = _phase_tuple(small)
+    monkeypatch.setattr(L, "_SMALL_STATE_MAX", 0)
+    dist = L.louvain_one_phase(g, max_iters=3, init_assign=init)
+    monkeypatch.undo()
+    assert t_small == _phase_tuple(dist)
+
+
+def test_multiphase_distributed_small_state_matches(spark, monkeypatch):
+    """End-to-end forced-distributed multiphase (the bench diagnostic
+    line) with and without the small-state fast path."""
+    from grappolo_spark.operators import louvain as L
+    from grappolo_spark.operators.multiphase import louvain
+    from grappolo_spark.sources.fixtures import karate
+
+    g = karate(spark)
+    r_small = louvain(g, max_phases=3, smart_init=True, local_threshold=0)
+    t_small = (
+        r_small.modularity,
+        r_small.num_clusters,
+        r_small.total_iterations,
+        sorted((r["v"], r["comm"]) for r in r_small.assignment.collect()),
+    )
+    monkeypatch.setattr(L, "_SMALL_STATE_MAX", 0)
+    r_dist = louvain(g, max_phases=3, smart_init=True, local_threshold=0)
+    monkeypatch.undo()
+    t_dist = (
+        r_dist.modularity,
+        r_dist.num_clusters,
+        r_dist.total_iterations,
+        sorted((r["v"], r["comm"]) for r in r_dist.assignment.collect()),
+    )
+    assert t_small == t_dist
+
+
+def test_multihash_numpy_matches_spark(spark):
+    """The numpy multihash coloring must reproduce multihash_coloring's
+    colors exactly (bit-exact xxhash64 replay + same local-max/min rule)."""
+    import numpy as np
+
+    from grappolo_spark.operators.coloring import (
+        _multihash_colors_np,
+        multihash_coloring,
+    )
+    from grappolo_spark.sources.fixtures import grid3d, karate
+
+    for g in (karate(spark), grid3d(spark, 3, 4, 5)):
+        want = {r["v"]: r["color"] for r in multihash_coloring(g).collect()}
+        pdf = g.edges.select("src", "dst").toPandas()
+        es = pdf["src"].to_numpy(np.int64)
+        ed = pdf["dst"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([es, ed]))
+        s_idx = np.searchsorted(ids, es)
+        d_idx = np.searchsorted(ids, ed)
+        m = s_idx != d_idx
+        got = _multihash_colors_np(ids, s_idx[m], d_idx[m])
+        assert {int(v): int(c) for v, c in zip(ids, got)} == want
+
+
+def test_colored_phase_numpy_coloring_matches_spark_route(spark, monkeypatch):
+    """louvain_one_phase_colored via the numpy coloring + driver state
+    build must equal the Spark coloring + probed state route."""
+    from grappolo_spark.operators import coloring as C
+    from grappolo_spark.sources.fixtures import karate
+
+    g = karate(spark)
+    for cap in (8, 3):
+        res_np = C.louvain_one_phase_colored(
+            g, thresh=1e-6, max_iters=4, num_colors_cap=cap,
+            coloring_algo="multihash", nv_hint=34,
+        )
+        t_np = (
+            res_np.modularity,
+            res_np.iterations,
+            sorted((r["v"], r["comm"]) for r in res_np.assignment.collect()),
+        )
+        monkeypatch.setattr(C, "_SMALL_EDGES_MAX", 0)  # force Spark route
+        res_sp = C.louvain_one_phase_colored(
+            g, thresh=1e-6, max_iters=4, num_colors_cap=cap,
+            coloring_algo="multihash", nv_hint=34,
+        )
+        monkeypatch.undo()
+        t_sp = (
+            res_sp.modularity,
+            res_sp.iterations,
+            sorted((r["v"], r["comm"]) for r in res_sp.assignment.collect()),
+        )
+        assert t_np == t_sp, cap
