@@ -306,57 +306,53 @@ def connected_components(
         # cc_pairs_all cut parquet — a second materializing cut would be a
         # pure extra write+read job
         prev = _checksum(pairs)  # once, against the cut parquet — cheap
-        # tiny round loops skip adaptive re-planning: at <= 2M 16-byte
-        # pairs there is no skew to split and nothing worth coalescing,
-        # but every per-round stage still pays the AQE round-trip (same
-        # rationale and pattern as multiphase._aqe_off_for_small; at
-        # scale the gate never fires and AQE keeps the rounds safe)
-        from grappolo_spark.operators.multiphase import _aqe_off_for_small
-
-        with _aqe_off_for_small(
-            g.edges.sparkSession, prev[0], threshold=2_000_000
-        ):
-            for step in range(start, max_iters):
-                pairs = _small_star(_large_star(pairs, dedup=False))
-                if (step + 1) % max(1, check_every) != 0:
-                    continue
-                # convergence checksum rides the round's single
-                # materializing action as observed metrics (CollectMetrics
-                # on the state plan). Scratch rounds localCheckpoint —
-                # materialize + plan truncation with no parquet round-trip
-                # (a star round references its input several times, so
-                # truncation is required either way); durable runs commit
-                # through the runner so every superstep is resumable.
-                obs = Observation()
-                observed = pairs.observe(obs, *_checksum_aggs())
-                if run_dir is not None:
-                    pairs = runner.commit(step, observed, {"op": "cc_star"})
-                else:
-                    pairs = observed.localCheckpoint(eager=True)
-                    runner.history.append({"op": "cc_star", "step": step})
-                m = read_observation(obs)
-                if m is not None:
-                    cur = (m["n"], m["h"])
-                else:
-                    # AQE empty-relation propagation can prune
-                    # CollectMetrics when the plan goes runtime-empty;
-                    # re-derive from the committed parquet (one cheap scan)
-                    cur = _checksum(pairs)
-                if cur == prev or cur[0] == 0:
-                    break
-                prev = cur
-                if freeze:
-                    # split off this round's leaves — lazy plans over the
-                    # MATERIALIZED round output (checkpoint or committed
-                    # parquet leaf), so the split folds into the next
-                    # round's single action and each frozen batch re-reads
-                    # only the leaf at resolution time. The split runs
-                    # AFTER the commit, so durable state stays pre-split
-                    # and resume can rederive every batch (see the resume
-                    # branch above).
-                    singles = _leaf_singles(pairs)
-                    frozen_batches.append(singles)
-                    pairs = pairs.join(singles.select("u"), "u", "left_anti")
+        # NOTE (r6): an AQE-off gate for tiny round loops was tried here
+        # (the multiphase._aqe_off_for_small pattern) and measured ~2x
+        # SLOWER (warm rounds 4.3-4.7s vs 2.2-2.7s at 7k pairs): unlike
+        # the exchange-free louvain sweeps, a star round is all exchanges
+        # over a shrinking input, and AQE's empty-relation propagation +
+        # partition coalescing pay for their re-planning. AQE stays ON.
+        for step in range(start, max_iters):
+            pairs = _small_star(_large_star(pairs, dedup=False))
+            if (step + 1) % max(1, check_every) != 0:
+                continue
+            # convergence checksum rides the round's single
+            # materializing action as observed metrics (CollectMetrics
+            # on the state plan). Scratch rounds localCheckpoint —
+            # materialize + plan truncation with no parquet round-trip
+            # (a star round references its input several times, so
+            # truncation is required either way); durable runs commit
+            # through the runner so every superstep is resumable.
+            obs = Observation()
+            observed = pairs.observe(obs, *_checksum_aggs())
+            if run_dir is not None:
+                pairs = runner.commit(step, observed, {"op": "cc_star"})
+            else:
+                pairs = observed.localCheckpoint(eager=True)
+                runner.history.append({"op": "cc_star", "step": step})
+            m = read_observation(obs)
+            if m is not None:
+                cur = (m["n"], m["h"])
+            else:
+                # AQE empty-relation propagation can prune
+                # CollectMetrics when the plan goes runtime-empty;
+                # re-derive from the committed parquet (one cheap scan)
+                cur = _checksum(pairs)
+            if cur == prev or cur[0] == 0:
+                break
+            prev = cur
+            if freeze:
+                # split off this round's leaves — lazy plans over the
+                # MATERIALIZED round output (checkpoint or committed
+                # parquet leaf), so the split folds into the next
+                # round's single action and each frozen batch re-reads
+                # only the leaf at resolution time. The split runs
+                # AFTER the commit, so durable state stays pre-split
+                # and resume can rederive every batch (see the resume
+                # branch above).
+                singles = _leaf_singles(pairs)
+                frozen_batches.append(singles)
+                pairs = pairs.join(singles.select("u"), "u", "left_anti")
         # final pairs form star(s): v -> component root (min id)
         labels = pairs.select(F.col("u").alias("v"), F.col("v").alias("component"))
         roots = pairs.select(F.col("v").alias("v")).distinct().select(

@@ -313,6 +313,20 @@ def louvain(
                 smart_init=smart_init,
             )
             history.extend(tail_hist)
+            if not phase_maps and vf_map is None and g.vertices is None:
+                # whole run handled by the tail over the ORIGINAL ids, and
+                # the edge endpoints ARE the vertex set (no explicit
+                # isolated vertices): the C_orig fold is the identity, so
+                # return the tail's LocalRelation directly — no vertex_ids
+                # scan, no fold join, no result cut job
+                return LouvainResult(
+                    assignment=tail_assign,
+                    modularity=prev_mod,
+                    num_clusters=num_clusters,
+                    phases=phase,
+                    total_iterations=tot_itr,
+                    phase_history=history,
+                )
             phase_maps.append(
                 tail_assign.select(
                     F.col("v").alias("comm"), F.col("comm").alias("next_comm")
