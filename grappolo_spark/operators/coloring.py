@@ -27,13 +27,17 @@ iterative DataFrame rounds:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from grappolo_spark.graph import Graph
 from grappolo_spark.operators.louvain import LouvainPhaseResult
-from grappolo_spark.plans.iteration import cut_lineage, promote_result
+from grappolo_spark.plans.iteration import (
+    cut_lineage,
+    promote_result,
+    read_observation,
+)
 
 _MEX = """
 aggregate(
@@ -86,11 +90,16 @@ def distance_one_coloring(
         k_src = keys.select(F.col("v").alias("src"), F.col("tiebreak").alias("t_src"))
         k_dst = keys.select(F.col("v").alias("dst"), F.col("tiebreak").alias("t_dst"))
 
+    # the pending count rides each round's cut-materializing job as an
+    # observed metric (one job per round instead of two); only round 1
+    # pays a dedicated count against the init cut
+    n_pending = None
     for _ in range(max_rounds):
-        pending = colors.filter(F.col("color").isNull()).select("v")
-        n_pending = pending.count()
+        if n_pending is None:
+            n_pending = colors.filter(F.col("color").isNull()).count()
         if n_pending == 0:
             break
+        pending = colors.filter(F.col("color").isNull()).select("v")
         # propose: first-fit against finalized neighbor colors
         nbr_colors = (
             pairs.join(
@@ -150,7 +159,13 @@ def distance_one_coloring(
             colors.join(winners, "v", "left")
             .select("v", F.coalesce("color", "proposal").alias("color"))
         )
+        obs = Observation()
+        colors = colors.observe(
+            obs, F.sum(F.col("color").isNull().cast("long")).alias("pending")
+        )
         colors = cut_lineage(colors, tag="coloring")
+        m = read_observation(obs)
+        n_pending = m["pending"] if m is not None else None
     if k_src is not None:
         keys.unpersist()
     return colors
@@ -1058,8 +1073,6 @@ def equitable_rebalance(
             .filter("rn = 1")
             .select("v", F.col("ucolor").alias("newcolor"))
         )
-        if picks.isEmpty():
-            break
         # adjacent movers choosing the same class: loser (smaller hash,id) reverts
         p_src = picks.select(F.col("v").alias("src"), F.col("newcolor").alias("cs"))
         p_dst = picks.select(F.col("v").alias("dst"), F.col("newcolor").alias("cd"))
@@ -1075,10 +1088,30 @@ def equitable_rebalance(
             .distinct()
         )
         winners = picks.join(losers, "v", "left_anti")
-        colors = (
-            colors.join(winners, "v", "left")
-            .select("v", F.coalesce("newcolor", "color").cast("int").alias("color"))
+        # the applied-move count rides the cut's materializing job as an
+        # observed metric — the old ``picks.isEmpty()`` gate re-evaluated
+        # the whole window+cross-join picks plan a second time every
+        # round. Breaking on zero APPLIED moves covers the old gate
+        # (picks empty => winners empty) plus the all-losers corner, in
+        # both of which the colors are unchanged — identical output, one
+        # plan evaluation per round instead of two.
+        joined = colors.join(winners, "v", "left")
+        obs = Observation()
+        joined = joined.observe(
+            obs,
+            F.sum(F.col("newcolor").isNotNull().cast("long")).alias("moved"),
         )
-        colors = cut_lineage(colors, tag="equitable")
+        colors = cut_lineage(
+            joined.select(
+                "v", F.coalesce("newcolor", "color").cast("int").alias("color")
+            ),
+            tag="equitable",
+        )
+        m = read_observation(obs)
+        moved = m["moved"] if m is not None else None
+        if moved is None:
+            moved = winners.count()  # pruned observation: one cheap agg
+        if moved == 0:
+            break
     pairs.unpersist()
     return colors
