@@ -436,12 +436,22 @@ def _multihash_colors_np(ids, s_idx, d_idx, nhash=2, nrounds=4, seed=999):
     the Spark loop's trailing coalesce."""
     import numpy as np
 
+    from grappolo_spark.operators.louvain import _first_group_starts
+
     assert 0 <= seed and seed + nhash < (1 << 31), "numpy path needs int lits"
     n = len(ids)
     base = _xxh64_long_np(ids, 42)
     hashes = [
         _xxh64_int_lit_np(seed + ih, base).view(np.int64) for ih in range(nhash)
     ]
+    # sort the edge lists by source ONCE so each sub-round's neighbor
+    # max/min reduce with ``reduceat`` over contiguous runs (a masked
+    # subset of a sorted array stays sorted) — the unbuffered
+    # ``np.maximum.at`` costs ~100-200ms per call at 1M edges, and the
+    # loop makes 2*nhash*nrounds of them
+    order = np.argsort(s_idx, kind="stable")
+    ss = s_idx[order]
+    dd = d_idx[order]
     color = np.full(n, -1, dtype=np.int32)
     max_color = 2 * nhash * nrounds
     i64 = np.iinfo(np.int64)
@@ -455,14 +465,18 @@ def _multihash_colors_np(ids, s_idx, d_idx, nhash=2, nrounds=4, seed=999):
                 done = True
                 break
             h = hashes[ih]
-            live = unc[s_idx] & unc[d_idx]
-            lu, lv = s_idx[live], d_idx[live]
+            live = unc[ss] & unc[dd]
+            lu, lv = ss[live], dd[live]
             has = np.zeros(n, dtype=bool)
             has[lu] = True
             nmax = np.full(n, i64.min, dtype=np.int64)
             nmin = np.full(n, i64.max, dtype=np.int64)
-            np.maximum.at(nmax, lu, h[lv])
-            np.minimum.at(nmin, lu, h[lv])
+            if len(lu):
+                starts = _first_group_starts(lu)
+                srcs = lu[starts]
+                hv = h[lv]
+                nmax[srcs] = np.maximum.reduceat(hv, starts)
+                nmin[srcs] = np.minimum.reduceat(hv, starts)
             even = unc & (~has | (h > nmax))
             odd = unc & has & (h < nmin)
             color[even] = 2 * (itr * nhash + ih)
@@ -695,32 +709,42 @@ def louvain_one_phase_colored(
     else:
         edges = g.edges.repartition(gather_key).persist()
     vdeg = g.degrees().select("v", "deg").persist()
-    # one action: 2m AND the edge-row count (the driver-held e_xx bound)
-    row0 = edges.agg(
-        F.sum("weight").alias("tw"), F.count(F.lit(1)).alias("ne")
-    ).collect()[0]
-    two_m = row0["tw"] or 0.0
-    n_edge_rows = row0["ne"] or 0
+    # driver-held edge copy for small graphs, probe-collected in the SAME
+    # action that materializes the cache (limit caps the transfer): reused
+    # by the coloring (numpy multihash), the state build and the
+    # per-iteration e_xx reduction — and under the bound 2m and the row
+    # count come from it too, so the dedicated stats agg job disappears
+    # (2m via numpy sum: exact for the engine's integer-valued weights,
+    # the same argument as the rest of the small-state path)
+    edges_np = None
+    row0 = None
+    if small_hint:
+        import numpy as np
+
+        epdf = (
+            edges.select("src", "dst", "weight")
+            .limit(_SMALL_EDGES_MAX + 1)
+            .toPandas()
+        )
+        if len(epdf) <= _SMALL_EDGES_MAX:
+            edges_np = (
+                epdf["src"].to_numpy(np.int64),
+                epdf["dst"].to_numpy(np.int64),
+                epdf["weight"].to_numpy(np.float64),
+            )
+            two_m = float(edges_np[2].sum())
+            n_edge_rows = len(epdf)
+        del epdf
+    if edges_np is None:
+        row0 = edges.agg(
+            F.sum("weight").alias("tw"), F.count(F.lit(1)).alias("ne")
+        ).collect()[0]
+        two_m = row0["tw"] or 0.0
+        n_edge_rows = row0["ne"] or 0
     if two_m == 0.0:
         empty = spark.createDataFrame([], "v long, comm long")
         return LouvainPhaseResult(empty, 0.0, 0)
     const = 1.0 / two_m
-
-    # driver-held edge copy for small graphs: collected ONCE off the
-    # persisted cache and reused by the coloring (numpy multihash), the
-    # state build (degrees/self-loops via bincount — exact for the
-    # engine's integer-valued weights, the same argument as the rest of
-    # the small-state path) and the per-iteration e_xx reduction
-    edges_np = None
-    if small_hint and n_edge_rows <= _SMALL_EDGES_MAX:
-        import numpy as np
-
-        epdf = edges.select("src", "dst", "weight").toPandas()
-        edges_np = (
-            epdf["src"].to_numpy(np.int64),
-            epdf["dst"].to_numpy(np.int64),
-            epdf["weight"].to_numpy(np.float64),
-        )
 
     colors_np = None  # (ids array, int32 colors) when colored in numpy
     ids = None
