@@ -491,10 +491,14 @@ def _multihash_colors_np(ids, s_idx, d_idx, nhash=2, nrounds=4, seed=999):
 # per iteration (the class jobs, the heavy side, stay in Spark)
 _SMALL_EDGES_MAX = 4_000_000
 
+# test hook: force the Spark class-job route even when the driver edge
+# copy would allow the exact numpy class sweep
+_NP_CLASS_SWEEP = True
+
 
 def _colored_small_state(
     spark, edges, pdf, classes, const, two_m, thresh, lower, max_iters,
-    edges_np=None,
+    edges_np=None, eidx=None,
 ):
     """Colored Gauss-Seidel sweeps with driver-held community state.
 
@@ -523,9 +527,15 @@ def _colored_small_state(
 
     # driver-held e_xx: map edge endpoints to state positions once; any
     # endpoint outside the state (a vertex the coloring missed) falls back
-    # to the Spark scan — silent misindexing is never an option
+    # to the Spark scan — silent misindexing is never an option. ``eidx``
+    # lets the numpy-coloring caller hand over the positions it already
+    # computed (its pdf rows ARE the sorted id array), skipping the two
+    # full-width searchsorted passes.
     si = di = ew = None
-    if edges_np is not None and len(vs):
+    if eidx is not None and edges_np is not None:
+        si, di = eidx
+        ew = edges_np[2]
+    elif edges_np is not None and len(vs):
         es, ed, ew_ = edges_np
         order = np.argsort(vs)
         svs = vs[order]
@@ -534,12 +544,95 @@ def _colored_small_state(
         if bool((svs[is_] == es).all()) and bool((svs[id_] == ed).all()):
             si, di, ew = order[is_], order[id_], ew_
 
+    # full-numpy class sweep: with a valid driver edge copy AND
+    # integer-valued weights every sum below (wsum per (v, cand), cdeg,
+    # e_xx) is exact regardless of aggregation order, so the numpy replay
+    # of the class job is bit-identical to the Spark plan — the same
+    # exactness argument as the plain kernel's driver tail, now covering
+    # the gather/argmax too. Real-valued weights keep the Spark class jobs
+    # (their sums are order-sensitive, and the Spark plan is the contract).
+    np_sweep = (
+        _NP_CLASS_SWEEP
+        and si is not None
+        and float(np.abs(ew).sum()) < float(2**53)
+        and bool((ew == np.rint(ew)).all())
+    )
+    from grappolo_spark.operators.louvain import _first_group_starts
+
+    class_edges = None
+    if np_sweep:
+        # pre-partition the edge arrays by the src's color ONCE (colors
+        # are static through the sweep): each class gather then touches
+        # only its own slice instead of paying four full-width masked
+        # gathers per class per iteration
+        csrc = color[si]
+        csort = np.argsort(csrc, kind="stable")
+        csrc_sorted = csrc[csort]
+        class_edges = {}
+        for cls in classes:
+            lo = np.searchsorted(csrc_sorted, cls, side="left")
+            hi = np.searchsorted(csrc_sorted, cls, side="right")
+            idx = csort[lo:hi]
+            class_edges[int(cls)] = (si[idx], di[idx], ew[idx])
+
     prev_mod = -1.0
     prev_comm = comm.copy()
     num_itrs = 0
     for it in range(max_iters):
         num_itrs = it + 1
         for cls in classes:
+            if np_sweep:
+                # numpy replay of the class job (edges ⋈ class state ⋈
+                # dst state → groupBy(v, cand) → _class_best_moves):
+                # identical expressions, snapshot-at-class-start info,
+                # moves applied after the class, exactly like the collect
+                # loop below. Pinned vs the Spark route by
+                # test_colored_class_sweep_numpy_matches_spark. A class
+                # with no out-edges gathers nothing (the Spark inner join
+                # would be empty) and is skipped outright.
+                vg_e, di_c, ew_c = class_edges[int(cls)]
+                if not len(vg_e):
+                    continue
+                cu, inv = np.unique(comm, return_inverse=True)
+                cdeg = np.bincount(inv, weights=deg)
+                csize = np.bincount(inv).astype(np.int64)
+                ci_e = inv[di_c]
+                key = vg_e * np.int64(len(cu)) + ci_e
+                uk, uinv = np.unique(key, return_inverse=True)
+                wsum = np.bincount(uinv, weights=ew_c)
+                vg = uk // len(cu)
+                ci = uk % len(cu)
+                cand = cu[ci]
+                ay = cdeg[ci]
+                comm_v = comm[vg]
+                is_own = cand == comm_v
+                # score/ns replicate the min_by key: own community sinks
+                # to +inf, ties on the score break to the SMALLER cand
+                score = wsum - deg[vg] * ay * const
+                ns = np.where(is_own, np.inf, -score)
+                order = np.lexsort((cand, ns, vg))
+                win = order[_first_group_starts(vg[order])]
+                w_own = np.zeros(len(vs), dtype=np.float64)
+                own_rows = np.flatnonzero(is_own)
+                w_own[vg[own_rows]] = wsum[own_rows]
+                wv = vg[win]
+                keep = cand[win] != comm[wv]
+                win = win[keep]
+                wv = wv[keep]
+                eix = w_own[wv] - selfloop[wv]
+                ax = cdeg[inv[wv]] - deg[wv]
+                gain = (
+                    2.0 * (wsum[win] - eix)
+                    - 2.0 * deg[wv] * (ay[win] - ax) * const
+                )
+                blocked = (
+                    (csize[ci[win]] == 1)
+                    & (csize[inv[wv]] == 1)
+                    & (cand[win] > comm[wv])
+                )
+                apply_m = (gain > 0) & ~blocked
+                comm[wv[apply_m]] = cand[win][apply_m]
+                continue
             mask = color == cls
             if not mask.any():
                 continue
@@ -638,6 +731,10 @@ def _colored_small_state(
         modularity=prev_mod,
         iterations=num_itrs,
         two_m=two_m,
+        # exact driver mirror (only when the whole sweep ran in numpy over
+        # a complete driver edge copy): lets the multiphase driver finish
+        # renumber/coarsen/tail/fold without another Spark job
+        local_np=(vs, prev_comm, si, di, ew) if np_sweep else None,
     )
 
 
@@ -709,20 +806,23 @@ def louvain_one_phase_colored(
     else:
         edges = g.edges.repartition(gather_key).persist()
     vdeg = g.degrees().select("v", "deg").persist()
-    # driver-held edge copy for small graphs, probe-collected in the SAME
-    # action that materializes the cache (limit caps the transfer): reused
-    # by the coloring (numpy multihash), the state build and the
+    # driver-held edge copy for small graphs, probe-collected straight off
+    # the CALLER's table (limit caps the transfer): reused by the coloring
+    # (numpy multihash), the state build, the numpy class sweep and the
     # per-iteration e_xx reduction — and under the bound 2m and the row
     # count come from it too, so the dedicated stats agg job disappears
     # (2m via numpy sum: exact for the engine's integer-valued weights,
-    # the same argument as the rest of the small-state path)
+    # the same argument as the rest of the small-state path). The gather
+    # cache above stays LAZY: on the full-numpy route (numpy coloring +
+    # exact numpy class sweep) no action ever touches it, so the
+    # repartition+persist never runs at all.
     edges_np = None
     row0 = None
     if small_hint:
         import numpy as np
 
         epdf = (
-            edges.select("src", "dst", "weight")
+            g.edges.select("src", "dst", "weight")
             .limit(_SMALL_EDGES_MAX + 1)
             .toPandas()
         )
@@ -840,7 +940,7 @@ def louvain_one_phase_colored(
 
         es, ed, ew = edges_np
         ids, cvals = colors_np
-        s_idx = np.searchsorted(ids, es)
+        # s_idx/d_idx survive from the coloring block above (same ids)
         deg_np = np.bincount(s_idx, weights=ew, minlength=len(ids))
         sl_mask = es == ed
         self_np = np.bincount(
@@ -865,7 +965,7 @@ def louvain_one_phase_colored(
         with _aqe_off_for_small(spark, len(probe), threshold=_SMALL_STATE_MAX):
             res = _colored_small_state(
                 spark, edges, probe, classes, const, two_m, thresh, lower,
-                max_iters, edges_np=edges_np,
+                max_iters, edges_np=edges_np, eidx=(s_idx, d_idx),
             )
         edges.unpersist()
         return res

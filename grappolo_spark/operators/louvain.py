@@ -149,6 +149,11 @@ class LouvainPhaseResult:
     # nv_hint) — lets multiphase skip its own distinct-count job for the
     # phase-1 renumber size hint. None when the kernel never counted.
     num_vertices: int | None = None
+    # driver-held mirror of the phase, set ONLY by exact driver-side
+    # kernels over a complete driver edge copy: (ids sorted, comm over
+    # ids, src_pos, dst_pos, weight). Lets the multiphase driver continue
+    # renumber/coarsen/tail/fold in numpy with zero further Spark jobs.
+    local_np: tuple | None = None
 
 
 def _singleton_sweep_best(edges: DataFrame, vdeg: DataFrame, const: float) -> DataFrame:
@@ -429,6 +434,32 @@ def louvain_local_tail(
     d = np.searchsorted(ids, dst)
     nv0 = len(ids)
 
+    c_orig, prev_mod, num_clusters, phase, tot_itr, history = _local_tail_np(
+        s, d, ww, nv0, g.directed, threshold, curr_mod, phase_start,
+        tot_itr_start, max_phases, max_total_iters, smart_init,
+    )
+
+    import pandas as pd
+
+    if nv0:
+        out = spark.createDataFrame(
+            pd.DataFrame({"v": ids, "comm": c_orig}), "v long, comm long"
+        )
+    else:
+        out = spark.createDataFrame([], "v long, comm long")
+    return out, prev_mod, num_clusters, phase, tot_itr, history
+
+
+def _local_tail_np(
+    s, d, ww, nv0, directed, threshold, curr_mod, phase_start,
+    tot_itr_start, max_phases, max_total_iters, smart_init,
+):
+    """Index-space core of :func:`louvain_local_tail` (ids 0..nv0-1).
+    Returns (c_orig over 0..nv0-1, prev_mod, num_clusters, phase, tot_itr,
+    history) — the multiphase driver's numpy continuation calls this
+    directly on a driver-coarsened graph, skipping the collect."""
+    import numpy as np
+
     c_orig = np.arange(nv0, dtype=np.int64)
     prev_mod = -1.0
     phase = phase_start
@@ -442,7 +473,7 @@ def louvain_local_tail(
         # smart_init applies per phase, mirroring the distributed driver
         # passing the flag into every plain phase's kernel
         comm, q, iters = _local_kernel(
-            cur_s, cur_d, cur_w, cur_n, g.directed, threshold, curr_mod, 1000,
+            cur_s, cur_d, cur_w, cur_n, directed, threshold, curr_mod, 1000,
             smart_init=smart_init,
         )
         if comm is None:
@@ -494,15 +525,7 @@ def louvain_local_tail(
         else:
             break
 
-    import pandas as pd
-
-    if nv0:
-        out = spark.createDataFrame(
-            pd.DataFrame({"v": ids, "comm": c_orig}), "v long, comm long"
-        )
-    else:
-        out = spark.createDataFrame([], "v long, comm long")
-    return out, prev_mod, num_clusters, phase, tot_itr, history
+    return c_orig, prev_mod, num_clusters, phase, tot_itr, history
 
 
 # state rows at or below this bound run the plain Jacobi sweep with

@@ -77,6 +77,24 @@ def _aqe_off_for_small(spark, nv: int | None, threshold: int = 100_000):
         spark.conf.set(key, prev)
 
 
+def _renumber_np(vs, cs):
+    """Array core of the driver-side renumber: rank communities by their
+    minimum member vertex id (= the reference's first-appearance order of
+    a serial 0..NV-1 scan); sentinel -1 (and any negative id) stays -1."""
+    import numpy as np
+
+    pos = cs >= 0
+    # min member vertex id per community, ranked ascending = the
+    # reference's first-appearance order of a serial 0..NV-1 scan
+    order_idx = np.lexsort((vs[pos], cs[pos]))
+    cu, firstpos = np.unique(cs[pos][order_idx], return_index=True)
+    rank = np.argsort(np.argsort(vs[pos][order_idx][firstpos]))
+    remap = dict(zip(cu.tolist(), rank.tolist()))
+    new_c = np.array([remap[c] if c >= 0 else -1 for c in cs.tolist()],
+                     dtype=np.int64)
+    return new_c, len(cu)
+
+
 def renumber_contiguously(
     assign: DataFrame,
     size_hint: int | None = None,
@@ -111,19 +129,11 @@ def renumber_contiguously(
         pdf = assign.select("v", "comm").toPandas()
         vs = pdf["v"].to_numpy(dtype=np.int64)
         cs = pdf["comm"].to_numpy(dtype=np.int64)
-        pos = cs >= 0
-        # min member vertex id per community, ranked ascending = the
-        # reference's first-appearance order of a serial 0..NV-1 scan
-        order_idx = np.lexsort((vs[pos], cs[pos]))
-        cu, firstpos = np.unique(cs[pos][order_idx], return_index=True)
-        rank = np.argsort(np.argsort(vs[pos][order_idx][firstpos]))
-        remap = dict(zip(cu.tolist(), rank.tolist()))
-        new_c = np.array([remap[c] if c >= 0 else -1 for c in cs.tolist()],
-                         dtype=np.int64)
+        new_c, k = _renumber_np(vs, cs)
         out = spark.createDataFrame(
             pd.DataFrame({"v": vs, "comm": new_c}), "v long, comm long"
         )
-        return out, len(cu)
+        return out, k
     firsts = (
         assign.filter(F.col("comm") >= 0)
         .groupBy("comm")
@@ -388,10 +398,120 @@ def louvain(
 
             if nv is None:
                 nv = res.num_vertices  # counted by the kernel's stats action
-            # nv bounds the assignment's row count, selecting the
-            # driver-side renumber for small (coarse) phases
-            assign, num_clusters = renumber_contiguously(
-                res.assignment, size_hint=nv
+            # driver-side continuation: a phase that ran entirely in numpy
+            # over a complete driver edge copy hands back its arrays
+            # (res.local_np) — renumber/coarsen/tail/fold then finish on
+            # the driver with ZERO further Spark jobs (no coarse-edges
+            # parquet cut, no result cut). Values are identical: the
+            # renumber is the same array code renumber_contiguously runs
+            # after its collect, the coarsen produces the same aggregated
+            # multiset as coarsen() (integer-exact sums + zero-weight
+            # self-loop placeholders), and the tail is the same
+            # _local_tail_np the use_local branch runs. Gated to the
+            # shapes the fold
+            # below would reduce to exactly this composition.
+            np_cont = (
+                res.local_np is not None
+                and not phase_maps
+                and vf_map is None
+                and g.vertices is None
+                and run_dir is None
+                and sample_fraction is None
+                and not early_terminate
+                and not fast_track_resistance
+                and local_threshold > 0
+            )
+            if np_cont:
+                ids_np, comm_raw, e_si, e_di, e_w = res.local_np
+                assign_np, num_clusters = _renumber_np(ids_np, comm_raw)
+                np_cont = bool((assign_np >= 0).all())
+            if not np_cont:
+                # nv bounds the assignment's row count, selecting the
+                # driver-side renumber for small (coarse) phases
+                assign, num_clusters = renumber_contiguously(
+                    res.assignment, size_hint=nv
+                )
+        if np_cont:
+            import numpy as np
+            import pandas as pd
+
+            from grappolo_spark.operators.louvain import _local_tail_np
+
+            history.append(
+                {
+                    "phase": phase,
+                    "modularity": curr_mod,
+                    "clusters": num_clusters,
+                    "iterations": res.iterations,
+                    "vertices": nv,
+                    "colored": use_coloring,
+                    "seconds": round(time.time() - phase_t0, 3),
+                }
+            )
+            done = (
+                phase > max_phases
+                or tot_itr > max_total_iters
+                or (curr_mod - prev_mod) <= threshold
+            )
+            if done:
+                # no further phase: the end-of-run fold reduces to the one
+                # renumbered phase map over the full vertex set
+                out = spark.createDataFrame(
+                    pd.DataFrame({"v": ids_np, "comm": assign_np}),
+                    "v long, comm long",
+                )
+                return LouvainResult(
+                    assignment=out,
+                    modularity=prev_mod,
+                    num_clusters=num_clusters,
+                    phases=phase,
+                    total_iterations=tot_itr,
+                    phase_history=history,
+                )
+            # numpy coarsen — same aggregated multiset as coarsen():
+            # summed (csrc, cdst) pairs plus a zero-weight self-loop
+            # placeholder for every cluster without one
+            k = num_clusters
+            ns, nd = assign_np[e_si], assign_np[e_di]
+            key = ns * np.int64(k) + nd
+            uk, uinv = np.unique(key, return_inverse=True)
+            nw = np.bincount(uinv, weights=e_w)
+            cs_, cd_ = (uk // k).astype(np.int64), (uk % k).astype(np.int64)
+            missing = np.setdiff1d(
+                np.arange(k, dtype=np.int64), cs_[cs_ == cd_]
+            )
+            ts = np.concatenate([cs_, missing])
+            td = np.concatenate([cd_, missing])
+            tw = np.concatenate([nw, np.zeros(len(missing))])
+            next_colored = coloring and k > min_graph_size
+            if not next_colored and len(ts) <= local_threshold:
+                phase += 1
+                (
+                    tail_c, t_mod, t_k, t_phase, t_itr, t_hist
+                ) = _local_tail_np(
+                    ts, td, tw, k, g.directed, threshold, curr_mod,
+                    phase, tot_itr, max_phases, max_total_iters, smart_init,
+                )
+                history.extend(t_hist)
+                out = spark.createDataFrame(
+                    pd.DataFrame({"v": ids_np, "comm": tail_c[assign_np]}),
+                    "v long, comm long",
+                )
+                return LouvainResult(
+                    assignment=out,
+                    modularity=t_mod,
+                    num_clusters=t_k,
+                    phases=t_phase,
+                    total_iterations=t_itr,
+                    phase_history=history,
+                )
+            # remaining phases need the distributed machinery (next phase
+            # colored, or coarse edges above local_threshold): hand the
+            # phase map back as a LocalRelation and rejoin the normal flow
+            history.pop()  # the normal flow re-appends this phase's entry
+            assign = spark.createDataFrame(
+                pd.DataFrame({"v": ids_np, "comm": assign_np}),
+                "v long, comm long",
             )
         if nv is None or nv > RENUMBER_SMALL_THRESHOLD:
             # distributed renumber → parquet-cut the assignment. keep_last

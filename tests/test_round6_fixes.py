@@ -233,3 +233,82 @@ def test_colored_phase_numpy_coloring_matches_spark_route(spark, monkeypatch):
             sorted((r["v"], r["comm"]) for r in res_sp.assignment.collect()),
         )
         assert t_np == t_sp, cap
+
+
+def test_colored_class_sweep_numpy_matches_spark(spark, monkeypatch):
+    """The full-numpy class sweep (driver edge copy + integer-valued
+    weights => exact sums) must be bit-identical to the Spark class jobs
+    it replays, across palettes incl. the overflow (Jacobi) class. The
+    fractional-weight graph exercises the gate: its sums are order-
+    sensitive, so both runs take the Spark route and stay equal."""
+    from grappolo_spark.operators import coloring as C
+    from grappolo_spark.sources.fixtures import grid3d, karate
+
+    weighted = Graph.from_pairs(
+        spark,
+        [(0, 1, 3.0), (1, 2, 2.0), (2, 0, 1.0), (3, 4, 5.0), (4, 5, 4.0),
+         (5, 3, 1.0), (2, 3, 1.0), (6, 6, 2.0), (7, 7, 1.0)],
+    )
+    fractional = Graph.from_pairs(
+        spark,
+        [(0, 1, 0.5), (1, 2, 0.25), (2, 0, 1.5), (3, 4, 2.5), (4, 5, 0.75),
+         (5, 3, 1.0), (2, 3, 0.125)],
+    )
+    cases = [
+        (karate(spark), 34, 8),
+        (karate(spark), 34, 3),
+        (grid3d(spark, 3, 3, 3), 27, 8),
+        (weighted, 8, 8),
+        (fractional, 6, 8),
+    ]
+    for g, nv, cap in cases:
+        res_np = C.louvain_one_phase_colored(
+            g, thresh=1e-6, max_iters=4, num_colors_cap=cap,
+            coloring_algo="multihash", nv_hint=nv,
+        )
+        t_np = _phase_tuple(res_np)
+        monkeypatch.setattr(C, "_NP_CLASS_SWEEP", False)
+        res_sp = C.louvain_one_phase_colored(
+            g, thresh=1e-6, max_iters=4, num_colors_cap=cap,
+            coloring_algo="multihash", nv_hint=nv,
+        )
+        monkeypatch.undo()
+        assert t_np == _phase_tuple(res_sp), (nv, cap)
+
+
+def test_multiphase_colored_np_continuation_matches(spark, monkeypatch):
+    """The driver-side continuation (numpy renumber/coarsen/tail/fold after
+    a numpy colored phase) must reproduce the Spark-route multiphase run
+    exactly: assignment, modularity, clusters, phases, iterations, history.
+    min_graph_size=5 exercises the local-tail composition; =1 keeps
+    coloring on for later phases (the continuation's fallback to the
+    normal distributed flow)."""
+    from grappolo_spark.operators import coloring as C
+    from grappolo_spark.operators.multiphase import louvain
+    from grappolo_spark.sources.fixtures import grid3d, karate
+
+    def run(g, mgs):
+        r = louvain(
+            g, max_phases=3, coloring=True, min_graph_size=mgs,
+            num_colors_cap=8, coloring_algo="multihash",
+        )
+        return (
+            r.modularity,
+            r.num_clusters,
+            r.phases,
+            r.total_iterations,
+            [
+                (h["phase"], h["modularity"], h["clusters"], h["iterations"],
+                 h.get("vertices"), h["colored"])
+                for h in r.phase_history
+            ],
+            sorted((x["v"], x["comm"]) for x in r.assignment.collect()),
+        )
+
+    for g in (karate(spark), grid3d(spark, 3, 3, 3)):
+        for mgs in (5, 1):
+            t_np = run(g, mgs)
+            monkeypatch.setattr(C, "_NP_CLASS_SWEEP", False)
+            t_sp = run(g, mgs)
+            monkeypatch.undo()
+            assert t_np == t_sp, mgs
