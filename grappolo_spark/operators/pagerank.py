@@ -27,6 +27,10 @@ from grappolo_spark.plans.iteration import (
     promote_result,
 )
 
+# test hook: force the committed-state distributed loop even when the
+# driver-held-rank fast path would apply
+_NP_RANK_LOOP = True
+
 
 def pagerank(
     g: Graph,
@@ -146,6 +150,77 @@ def pagerank(
         # join key; a projection preserves that partitioning), and an
         # already-partitioned cache is reused shuffle-free
         edges = e_loop.persist()
+
+    # driver-held-rank loop (same structure as the louvain small-state
+    # kernels): the per-superstep gather — edges ⋈ broadcast(ranks) →
+    # groupBy(dst) → sum — runs IN SPARK over the dst-partitioned cache
+    # exactly as below (single-stage agg, no exchange, so the per-dst sums
+    # are the same deterministic per-partition reductions), but the O(V)
+    # rank state lives in numpy: one LocalRelation in and one O(V) collect
+    # out per superstep replaces the dangling-scan job, the O(V)
+    # base⋈contribs join and the every-3rd-superstep parquet commit. The
+    # rank update is the identical scalar expression, so ranks are
+    # bit-identical (pinned by test_pagerank_driver_ranks_matches).
+    # Excluded: dangling graphs (their rank-mass reduction would move a
+    # float sum across the boundary), tol (delta is a distributed agg),
+    # run_dir (resume state must stay durable), ids32, and state above
+    # 100k rows — a billion-vertex rank table must never collect.
+    if (
+        _NP_RANK_LOOP
+        and broadcast_ranks
+        and not ids32
+        and run_dir is None
+        and tol is None
+        and n <= 100_000
+    ):
+        import numpy as np
+        import pandas as pd
+
+        bp = base.select("v", "wout").toPandas()
+        vs_np = bp["v"].to_numpy(np.int64)
+        wout_np = bp["wout"].to_numpy(np.float64)
+        order = np.argsort(vs_np, kind="stable")
+        vs_np, wout_np = vs_np[order], wout_np[order]
+        if not bool((wout_np == 0.0).any()):
+            rank_np = np.full(n, 1.0 / n, dtype=np.float64)
+            dangling = 0.0
+            contrib_c = (
+                (F.col("rank") / F.col("wout"))
+                if unweighted
+                else (F.col("rank") * F.col("weight") / F.col("wout"))
+            )
+            for _ in range(max_iters):
+                rank_lr = spark.createDataFrame(
+                    pd.DataFrame(
+                        {"v": vs_np, "rank": rank_np, "wout": wout_np}
+                    ),
+                    "v long, rank double, wout double",
+                )
+                cp = (
+                    edges.join(
+                        F.broadcast(rank_lr), edges.src == rank_lr.v
+                    )
+                    .select(F.col("dst").alias("v"), contrib_c.alias("c"))
+                    .groupBy("v")
+                    .agg(F.sum("c").alias("in_contrib"))
+                    .toPandas()
+                )
+                in_c = np.zeros(n, dtype=np.float64)
+                if len(cp):
+                    idx = np.searchsorted(
+                        vs_np, cp["v"].to_numpy(np.int64)
+                    )
+                    in_c[idx] = cp["in_contrib"].to_numpy(np.float64)
+                rank_np = (1.0 - alpha) / n + alpha * (
+                    in_c + dangling / n
+                )
+            out = spark.createDataFrame(
+                pd.DataFrame({"v": vs_np, "rank": rank_np}),
+                "v long, rank double",
+            )
+            base.unpersist()
+            edges.unpersist()
+            return out
 
     # shuffle config (rank table too big to broadcast): commit the rank
     # state BUCKETED by v so the per-superstep edges(src)⋈ranks(v) join

@@ -312,3 +312,36 @@ def test_multiphase_colored_np_continuation_matches(spark, monkeypatch):
             t_sp = run(g, mgs)
             monkeypatch.undo()
             assert t_np == t_sp, mgs
+
+
+def test_pagerank_driver_ranks_matches(spark, monkeypatch):
+    """The driver-held-rank pagerank loop must be bit-identical to the
+    committed-state distributed loop: the gather job is the same plan
+    over the same cache, and the rank update is the same scalar
+    expression. Covers weighted, unweighted and a graph with an
+    explicit-vertex side (non-sym_complete base build)."""
+    import importlib
+
+    from grappolo_spark.sources.fixtures import grid3d, karate
+
+    # the operators package re-exports the pagerank FUNCTION under the
+    # module's name; resolve the module itself for monkeypatching
+    P = importlib.import_module("grappolo_spark.operators.pagerank")
+
+    weighted = Graph.from_pairs(
+        spark,
+        [(0, 1, 3.0), (1, 2, 2.0), (2, 0, 1.0), (3, 4, 5.0), (4, 5, 4.0),
+         (5, 3, 1.0), (2, 3, 1.0), (6, 6, 2.0)],
+    )
+    for g in (karate(spark), grid3d(spark, 3, 3, 3), weighted):
+        fast = sorted(
+            (r["v"], r["rank"])
+            for r in P.pagerank(g, max_iters=5).collect()
+        )
+        monkeypatch.setattr(P, "_NP_RANK_LOOP", False)
+        slow = sorted(
+            (r["v"], r["rank"])
+            for r in P.pagerank(g, max_iters=5).collect()
+        )
+        monkeypatch.undo()
+        assert fast == slow
