@@ -748,6 +748,7 @@ def louvain_one_phase_colored(
     colors: DataFrame | None = None,
     run_dir: str | None = None,
     nv_hint: int | None = None,
+    edges_np_hint: tuple | None = None,
 ) -> LouvainPhaseResult:
     """One Louvain level, sweeping color classes sequentially.
 
@@ -818,7 +819,17 @@ def louvain_one_phase_colored(
     # repartition+persist never runs at all.
     edges_np = None
     row0 = None
-    if small_hint:
+    hint_ids = None
+    if small_hint and edges_np_hint is not None:
+        # the multiphase driver already probe-collected this exact table
+        # for its coloring gate (and derived nv from it) — reuse the
+        # arrays (and the sorted endpoint ids, if carried) instead of a
+        # second full transfer
+        edges_np = edges_np_hint[:3]
+        hint_ids = edges_np_hint[3] if len(edges_np_hint) > 3 else None
+        two_m = float(edges_np[2].sum())
+        n_edge_rows = len(edges_np[0])
+    elif small_hint:
         import numpy as np
 
         epdf = (
@@ -856,7 +867,11 @@ def louvain_one_phase_colored(
         import numpy as np
 
         es, ed, _ = edges_np
-        ids = np.unique(np.concatenate([es, ed]))
+        ids = (
+            hint_ids
+            if hint_ids is not None
+            else np.unique(np.concatenate([es, ed]))
+        )
         if len(ids) > _SMALL_STATE_MAX:
             # nv_hint undersold the vertex count (public caller): fall
             # back to the probed Spark path rather than trust the hint

@@ -312,9 +312,22 @@ def _smart_init_np(s, d, w, vdeg, const, nv):
     ss, dd, gain = ss[pos], dd[pos], gain[pos]
     comm = np.arange(nv, dtype=np.int64)
     if len(ss):
-        order = np.lexsort((dd, -gain, ss))
-        first = _first_group_starts(ss[order])
-        pick_v, pick_c = ss[order][first], dd[order][first]
+        # (gain desc, neighbor asc) argmax per src WITHOUT the 3-key
+        # lexsort (the float key made it the dominant cost): one int sort
+        # by src, segment-max the gains, then segment-min the neighbor
+        # among the rows that hit their segment's max. Gains are strictly
+        # positive floats compared bitwise, so the winner set is identical
+        # to the lexsort pick.
+        order = np.argsort(ss, kind="stable")
+        so, do_, go = ss[order], dd[order], gain[order]
+        starts = _first_group_starts(so)
+        seg_max = np.maximum.reduceat(go, starts)
+        counts = np.diff(np.append(starts, len(so)))
+        at_max = go == np.repeat(seg_max, counts)
+        so2, do2 = so[at_max], do_[at_max]
+        starts2 = _first_group_starts(so2)
+        pick_v = so2[starts2]
+        pick_c = np.minimum.reduceat(do2, starts2)
         keep = pick_c < pick_v
         comm[pick_v[keep]] = pick_c[keep]
     return comm
@@ -340,6 +353,14 @@ def _local_kernel(s, d, w, nv, directed, thresh, lower, max_iters,
         comm = _smart_init_np(s, d, w, vdeg, const, nv)
     else:
         comm = np.arange(nv, dtype=np.int64)
+    # when nv^2 fits int32 the packed key sorts at half the memory-bus
+    # width — the per-iteration np.unique sort is this kernel's dominant
+    # cost on a bandwidth-bound box. Same keys, same sort order, same
+    # inverse: bit-identical results either way.
+    key32 = nv * nv < (1 << 31)
+    # s is loop-invariant: precompute its key contribution once, at the
+    # key's width (int32 when it fits — see note above)
+    s_base = (s * nv).astype(np.int32) if key32 else s * nv
     prev_comm = comm
     prev_mod = -1.0
     num_itrs = 0
@@ -347,12 +368,15 @@ def _local_kernel(s, d, w, nv, directed, thresh, lower, max_iters,
         num_itrs += 1
         cdeg = np.bincount(comm, weights=vdeg, minlength=nv)
         csize = np.bincount(comm, minlength=nv)
-        # gather: sum weight per (src, comm[dst]) via a packed int64 key
-        key = s * nv + comm[d]
+        # gather: sum weight per (src, comm[dst]) via a packed int key
+        if key32:
+            key = s_base + comm.astype(np.int32)[d]
+        else:
+            key = s_base + comm[d]
         uk, inv = np.unique(key, return_inverse=True)
         wsum = np.bincount(inv, weights=w)
-        gv = (uk // nv).astype(np.int64)
-        gc = (uk % nv).astype(np.int64)
+        gv = uk // nv
+        gc = uk % nv
         own = gc == comm[gv]
         w_own = np.zeros(nv)
         w_own[gv[own]] = wsum[own]

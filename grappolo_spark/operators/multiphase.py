@@ -285,10 +285,39 @@ def louvain(
         # (res.num_vertices) — so the upfront count runs only when the
         # coloring gate needs nv BEFORE the phase. Coarse phases get it
         # free from the previous phase's cluster count.
+        edges_np_hint = None
         if prev_k is not None:
             nv = prev_k
         elif coloring:
-            nv = cur_g.num_vertices()
+            if cur_g.vertices is None:
+                # the gate's |V| can ride a bounded edge probe instead of
+                # a distinct-count job, and the probe-collected arrays are
+                # handed to the colored kernel so it skips its own
+                # transfer; above the bound (or with explicit vertices)
+                # the count job runs as before
+                import numpy as np
+
+                from grappolo_spark.operators.coloring import (
+                    _SMALL_EDGES_MAX,
+                )
+
+                epdf = (
+                    cur_g.edges.select("src", "dst", "weight")
+                    .limit(_SMALL_EDGES_MAX + 1)
+                    .toPandas()
+                )
+                if len(epdf) <= _SMALL_EDGES_MAX:
+                    es = epdf["src"].to_numpy(np.int64)
+                    ed = epdf["dst"].to_numpy(np.int64)
+                    ew = epdf["weight"].to_numpy(np.float64)
+                    ids = np.unique(np.concatenate([es, ed]))
+                    edges_np_hint = (es, ed, ew, ids)
+                    nv = len(ids)
+                else:
+                    nv = cur_g.num_vertices()
+                del epdf
+            else:
+                nv = cur_g.num_vertices()
         else:
             nv = None
         use_coloring = coloring and nv is not None and nv > min_graph_size
@@ -361,6 +390,7 @@ def louvain(
                     # lets the kernel pick the src-keyed narrow layout for
                     # the small-state broadcast gather upfront
                     nv_hint=nv,
+                    edges_np_hint=edges_np_hint,
                 )
             else:
                 res = louvain_one_phase(
