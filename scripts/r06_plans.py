@@ -104,6 +104,39 @@ def main(argv: list[str]) -> int:
 
     _capture_pagerank()
 
+    if suffix == "after":
+        # the driver-held-rank loop's one Spark job per superstep: the
+        # same broadcast-join gather over the dst-partitioned cache, with
+        # the rank table a LocalRelation instead of the committed state
+        # (operators/pagerank.py np loop)
+        import pandas as pd
+
+        g = cs
+        edges_np_cap = g.edges.repartition("dst").persist()
+        edges_np_cap.count()
+        bp = (
+            g.edges.groupBy(F.col("src").alias("v"))
+            .agg(F.sum("weight").alias("wout"))
+            .toPandas()
+        )
+        bp["rank"] = 1.0 / len(bp)
+        rank_lr = spark.createDataFrame(
+            bp[["v", "rank", "wout"]], "v long, rank double, wout double"
+        )
+        cp = (
+            edges_np_cap.join(
+                F.broadcast(rank_lr), edges_np_cap.src == rank_lr.v
+            )
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("rank") * F.col("weight") / F.col("wout")).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_contrib"))
+        )
+        sections["pagerank_np_gather"] = grab(cp)
+        edges_np_cap.unpersist()
+
     # ---- cc star round --------------------------------------------------
     from grappolo_spark.operators.components import _large_star, _small_star
 

@@ -345,3 +345,30 @@ def test_pagerank_driver_ranks_matches(spark, monkeypatch):
         )
         monkeypatch.undo()
         assert fast == slow
+
+
+def test_multiphase_colored_big_edge_fallback_matches(spark, monkeypatch):
+    """Above the probe bound the multiphase coloring gate must fall back
+    to the distinct-count job and the kernel to its distributed state
+    build — same results as the driver-held route (the sf>>0.1 regime)."""
+    from grappolo_spark.operators import coloring as C
+    from grappolo_spark.operators.multiphase import louvain
+    from grappolo_spark.sources.fixtures import karate
+
+    g = karate(spark)
+
+    def run():
+        r = louvain(
+            g, max_phases=3, coloring=True, min_graph_size=5,
+            num_colors_cap=8, coloring_algo="multihash",
+        )
+        return (
+            r.modularity, r.num_clusters, r.phases, r.total_iterations,
+            sorted((x["v"], x["comm"]) for x in r.assignment.collect()),
+        )
+
+    t_small = run()
+    monkeypatch.setattr(C, "_SMALL_EDGES_MAX", 0)
+    t_big = run()
+    monkeypatch.undo()
+    assert t_small == t_big
