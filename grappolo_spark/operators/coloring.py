@@ -495,6 +495,11 @@ _SMALL_EDGES_MAX = 4_000_000
 # copy would allow the exact numpy class sweep
 _NP_CLASS_SWEEP = True
 
+# state-row bound for the mid-regime BROADCAST class-gather layout in the
+# distributed colored loop (the plain kernel's broadcast_max_vertices
+# analogue): above it a billion-row state must shuffle, never broadcast
+_BCAST_STATE_MAX = 5_000_000
+
 
 def _colored_small_state(
     spark, edges, pdf, classes, const, two_m, thresh, lower, max_iters,
@@ -789,7 +794,15 @@ def louvain_one_phase_colored(
     # fully deterministic and SQL-expressible, which is how the driver
     # value-oracles one colored Gauss-Seidel iteration.
     small_hint = nv_hint is not None and nv_hint <= _SMALL_STATE_MAX
-    gather_key = "src" if small_hint else "dst"
+    # mid regime (100k < |V| <= 5M): the state is too big to hold on the
+    # driver but fine to BROADCAST per class job — the same src-keyed
+    # broadcast-gather layout the plain kernel and LPA run (r5), so the
+    # per-class counter aggregates in place with zero exchanges instead of
+    # shuffling O(E_class) gathered rows every sub-sweep
+    bcast_hint = (
+        nv_hint is not None and not small_hint and nv_hint <= _BCAST_STATE_MAX
+    )
+    gather_key = "src" if (small_hint or bcast_hint) else "dst"
     if small_hint:
         # partition count follows the INPUT's layout, not a constant:
         # small state does not imply small edges (a 16k-vertex phase-1
@@ -1043,31 +1056,88 @@ def louvain_one_phase_colored(
             cinfo = state.groupBy("comm").agg(
                 F.sum("deg").alias("cdeg"), F.count(F.lit(1)).alias("csize")
             )
-            a_dst = state.select(
-                F.col("v").alias("dst"), F.col("comm").alias("comm_dst")
-            )
             movers = state.filter(F.col("color") == cls)
-            counter = (
-                edges.join(
-                    movers.select(F.col("v").alias("src")), "src"
-                )
-                .join(a_dst, "dst")
-                .groupBy(F.col("src").alias("v"), F.col("comm_dst").alias("cand"))
-                .agg(F.sum("weight").alias("wsum"))
-            )
-            state0 = movers.join(
-                cinfo.select(
+            if bcast_hint:
+                # src-keyed broadcast gather (mid regime): both O(V) sides
+                # broadcast pre-enriched — the SAME counter/agg shape as
+                # the small-state class job (whose bit parity vs this
+                # loop's shuffle shape is already pinned), so the
+                # per-class aggregation runs in place over the
+                # src-partitioned cache with zero exchanges and
+                # _class_best_moves needs no post-aggregation joins.
+                # Measured at 11.7M edges / 160k vertices (adjacent warm
+                # pairs): 85.4/87.6 vs 92.7/89.6 shuffle — a consistent
+                # but modest win; the per-class floor there is the
+                # sequential O(V) state machinery itself. A color-tagged
+                # sortWithinPartitions cache (batch-stats scan pruning)
+                # measured NEUTRAL at that size and was reverted, as was
+                # a per-class localCheckpoint (pathological: chained
+                # checkpoints re-materialize through the non-adaptive
+                # path — the r2 finding, compounded per class).
+                state_src = movers.join(
+                    cinfo.select(
+                        "comm",
+                        F.col("cdeg").alias("cdeg_cur"),
+                        F.col("csize").alias("csize_cur"),
+                    ),
                     "comm",
-                    F.col("cdeg").alias("cdeg_cur"),
-                    F.col("csize").alias("csize_cur"),
-                ),
-                "comm",
-            ).select("v", "comm", "deg", "selfloop", "cdeg_cur", "csize_cur")
-            cinfo_cand = cinfo.select(
-                F.col("comm").alias("cand"), F.col("cdeg").alias("ay"),
-                F.col("csize").alias("csize_cand"),
-            )
-            best = _class_best_moves(counter, state0, cinfo_cand, const)
+                ).select(
+                    F.col("v").alias("src"), "comm", "deg", "selfloop",
+                    "cdeg_cur", "csize_cur",
+                )
+                dst_enr = state.join(cinfo, "comm").select(
+                    F.col("v").alias("dst"),
+                    F.col("comm").alias("cand"),
+                    F.col("cdeg").alias("ay"),
+                    F.col("csize").alias("csize_cand"),
+                )
+                counter = (
+                    edges.join(F.broadcast(state_src), "src")
+                    .join(F.broadcast(dst_enr), "dst")
+                    .groupBy(F.col("src").alias("v"), F.col("cand"))
+                    .agg(
+                        F.sum("weight").alias("wsum"),
+                        F.first("ay").alias("ay"),
+                        F.first("csize_cand").alias("csize_cand"),
+                        F.first("comm").alias("comm"),
+                        F.first("deg").alias("deg"),
+                        F.first("selfloop").alias("selfloop"),
+                        F.first("cdeg_cur").alias("cdeg_cur"),
+                        F.first("csize_cur").alias("csize_cur"),
+                    )
+                )
+                best = _class_best_moves(counter, None, None, const)
+            else:
+                a_dst = state.select(
+                    F.col("v").alias("dst"), F.col("comm").alias("comm_dst")
+                )
+                counter = (
+                    edges.join(
+                        movers.select(F.col("v").alias("src")), "src"
+                    )
+                    .join(a_dst, "dst")
+                    .groupBy(
+                        F.col("src").alias("v"),
+                        F.col("comm_dst").alias("cand"),
+                    )
+                    .agg(F.sum("weight").alias("wsum"))
+                )
+                state0 = movers.join(
+                    cinfo.select(
+                        "comm",
+                        F.col("cdeg").alias("cdeg_cur"),
+                        F.col("csize").alias("csize_cur"),
+                    ),
+                    "comm",
+                ).select(
+                    "v", "comm", "deg", "selfloop", "cdeg_cur", "csize_cur"
+                )
+                cinfo_cand = cinfo.select(
+                    F.col("comm").alias("cand"),
+                    F.col("cdeg").alias("ay"),
+                    F.col("csize").alias("csize_cand"),
+                )
+                best = _class_best_moves(counter, state0, cinfo_cand, const)
             state = (
                 state.join(best, "v", "left")
                 .select(

@@ -372,3 +372,27 @@ def test_multiphase_colored_big_edge_fallback_matches(spark, monkeypatch):
     t_big = run()
     monkeypatch.undo()
     assert t_small == t_big
+
+
+def test_colored_distributed_broadcast_layout_matches(spark, monkeypatch):
+    """The mid-regime src-keyed broadcast class gather (state broadcast
+    pre-enriched, zero per-class exchanges) must match the dst-shuffle
+    layout of the distributed colored loop exactly."""
+    from grappolo_spark.operators import coloring as C
+    from grappolo_spark.sources.fixtures import grid3d, karate
+
+    for g, nv in ((karate(spark), 34), (grid3d(spark, 3, 3, 3), 27)):
+        monkeypatch.setattr(C, "_SMALL_STATE_MAX", 0)
+        monkeypatch.setattr(C, "_SMALL_EDGES_MAX", 0)
+        res_b = C.louvain_one_phase_colored(
+            g, thresh=1e-6, max_iters=3, num_colors_cap=8,
+            coloring_algo="multihash", nv_hint=nv,
+        )
+        t_b = _phase_tuple(res_b)
+        monkeypatch.setattr(C, "_BCAST_STATE_MAX", 0)
+        res_s = C.louvain_one_phase_colored(
+            g, thresh=1e-6, max_iters=3, num_colors_cap=8,
+            coloring_algo="multihash", nv_hint=nv,
+        )
+        monkeypatch.undo()
+        assert t_b == _phase_tuple(res_s), nv
