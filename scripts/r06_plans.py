@@ -165,6 +165,58 @@ def main(argv: list[str]) -> int:
     sections["louvain_gather"] = grab(best)
     edges.unpersist()
 
+    # ---- colored class gather, mid-regime broadcast layout --------------
+    if suffix == "after":
+        # mirror of louvain_one_phase_colored's bcast_hint class job
+        # (operators/coloring.py): both O(V) sides broadcast pre-enriched
+        # over the src-partitioned cache — the claim is ZERO exchanges
+        # between the cache scan and the class winner set
+        ce = cs.edges.repartition("src").persist()
+        ce.count()
+        st = cs.vertex_ids().select(
+            "v", F.col("v").alias("comm"), F.lit(1.0).alias("deg"),
+            F.lit(0.0).alias("selfloop"), (F.col("v") % 8).cast("int").alias("color"),
+        )
+        cinfo = st.groupBy("comm").agg(
+            F.sum("deg").alias("cdeg"), F.count(F.lit(1)).alias("csize")
+        )
+        movers = st.filter(F.col("color") == 0)
+        state_src = movers.join(
+            cinfo.select(
+                "comm", F.col("cdeg").alias("cdeg_cur"),
+                F.col("csize").alias("csize_cur"),
+            ),
+            "comm",
+        ).select(
+            F.col("v").alias("src"), "comm", "deg", "selfloop",
+            "cdeg_cur", "csize_cur",
+        )
+        dst_enr = st.join(cinfo, "comm").select(
+            F.col("v").alias("dst"), F.col("comm").alias("cand"),
+            F.col("cdeg").alias("ay"), F.col("csize").alias("csize_cand"),
+        )
+        counter = (
+            ce.join(F.broadcast(state_src), "src")
+            .join(F.broadcast(dst_enr), "dst")
+            .groupBy(F.col("src").alias("v"), F.col("cand"))
+            .agg(
+                F.sum("weight").alias("wsum"),
+                F.first("ay").alias("ay"),
+                F.first("csize_cand").alias("csize_cand"),
+                F.first("comm").alias("comm"),
+                F.first("deg").alias("deg"),
+                F.first("selfloop").alias("selfloop"),
+                F.first("cdeg_cur").alias("cdeg_cur"),
+                F.first("csize_cur").alias("csize_cur"),
+            )
+        )
+        from grappolo_spark.operators.coloring import _class_best_moves
+
+        sections["colored_class_gather_bcast"] = grab(
+            _class_best_moves(counter, None, None, 1.0)
+        )
+        ce.unpersist()
+
     # ---- LPA superstep (forced distributed, broadcast layout) -----------
     lp_pairs = (
         parts.edges.filter(F.col("src") != F.col("dst"))
