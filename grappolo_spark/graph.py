@@ -134,6 +134,14 @@ class Graph:
     # showed is per-row-width bound (73% of kernel CPU, zero shuffle).
     # Conservative default: False whenever weights might be real.
     unweighted: bool = False
+    # edge rows are unique on (src, dst) BY CONSTRUCTION (canonical_edges'
+    # dedup + symmetrize union cannot emit a pair twice; coarsen-style
+    # groupBy outputs are unique by definition). Operators that would
+    # otherwise re-deduplicate the pair table (CC, the colorings) skip
+    # that exchange when this is set — distinct over already-unique rows
+    # is the identity, so results are unchanged (equivalence-tested).
+    # Conservative default: False for raw Graph(edges=...) construction.
+    deduped: bool = False
     _cached: list = field(default_factory=list, repr=False)
 
     # -- constructors -------------------------------------------------
@@ -149,7 +157,10 @@ class Graph:
     ) -> "Graph":
         e = canonical_edges(df, src, dst, weight, symmetrize=not directed)
         unw = weight is None or weight not in df.columns
-        return cls(edges=e, vertices=vertices, directed=directed, unweighted=unw)
+        return cls(
+            edges=e, vertices=vertices, directed=directed, unweighted=unw,
+            deduped=True,
+        )
 
     @classmethod
     def from_pairs(cls, spark: SparkSession, pairs, weights=None) -> "Graph":
@@ -299,6 +310,7 @@ class Graph:
             vertices=self.vertices,
             directed=self.directed,
             unweighted=self.unweighted,
+            deduped=self.deduped,
         )
         g._cached.append(e)
         return g

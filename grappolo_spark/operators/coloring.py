@@ -64,9 +64,12 @@ def distance_one_coloring(
     `coloringDistanceOne.cpp:370-371` over the exact vector its
     `generateRandomNumbers()` fills at ``n_threads`` OpenMP threads.
     """
-    pairs = (
-        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    ).persist()
+    pairs = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    if not g.deduped:
+        # raw Graph(edges=...) may carry duplicate pairs; canonical graphs
+        # skip this exchange (rows unique by construction)
+        pairs = pairs.distinct()
+    pairs = pairs.persist()
     colors = g.vertex_ids().select("v", F.lit(None).cast("int").alias("color"))
     colors = cut_lineage(colors, tag="coloring")
     # optional reference-parity tie-break values, keyed for both edge ends
@@ -175,9 +178,12 @@ def multihash_coloring(
     g: Graph, nhash: int = 2, nrounds: int = 4, seed: int = 999
 ) -> DataFrame:
     """Bounded-palette JP coloring; may leave a shared overflow color."""
-    pairs = (
-        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    ).persist()
+    pairs = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    if not g.deduped:
+        # raw Graph(edges=...) may carry duplicate pairs; canonical graphs
+        # skip this exchange (rows unique by construction)
+        pairs = pairs.distinct()
+    pairs = pairs.persist()
     colors = g.vertex_ids().select("v", F.lit(None).cast("int").alias("color"))
     colors = cut_lineage(colors, tag="coloring_mh")
     max_color = 2 * nhash * nrounds
@@ -1212,9 +1218,12 @@ def equitable_rebalance(
     """
     import math
 
-    pairs = (
-        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    ).persist()
+    pairs = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    if not g.deduped:
+        # raw Graph(edges=...) may carry duplicate pairs; canonical graphs
+        # skip this exchange (rows unique by construction)
+        pairs = pairs.distinct()
+    pairs = pairs.persist()
     nv = colors.count()
     cap = math.ceil(nv / num_colors)
     colors = cut_lineage(colors, tag="equitable")

@@ -187,11 +187,13 @@ def connected_components(
     narrow; the returned ``(v, component)`` stays long. The id bounds
     ride the same one-pass stats action as the local-path row count.
     """
-    pairs = (
-        g.edges.filter(F.col("src") != F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
+    pairs = g.edges.filter(F.col("src") != F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
+    if not g.deduped:
+        # raw Graph(edges=...) construction may carry duplicate pairs;
+        # canonical graphs skip this exchange (rows unique by construction)
+        pairs = pairs.distinct()
     runner = SuperstepRunner(g.edges.sparkSession, run_dir)
     if run_dir is not None:
         check_every = 1
@@ -233,11 +235,10 @@ def connected_components(
         # vertex_ids); durable runs keep the old shape (resume must not
         # depend on a scratch-rotation table).
         if run_dir is None:
-            pairs_all = cut_lineage(
-                g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-                .distinct(),
-                tag="cc_pairs_all",
-            )
+            pa = g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            if not g.deduped:
+                pa = pa.distinct()
+            pairs_all = cut_lineage(pa, tag="cc_pairs_all")
             pstats_src = pairs_all.agg(
                 F.min(F.least("u", "v")).alias("min_id"),
                 F.max(F.greatest("u", "v")).alias("max_id"),

@@ -178,7 +178,8 @@ def coarsen(g: Graph, assign: DataFrame) -> Graph:
         .groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
     )
-    return Graph(edges=coarse, directed=g.directed)
+    # groupBy output: unique (src, dst) by construction
+    return Graph(edges=coarse, directed=g.directed, deduped=True)
 
 
 @dataclass

@@ -77,4 +77,5 @@ def apply_vertex_following(g: Graph, vf_map: DataFrame) -> Graph:
         .groupBy(F.col("rsrc").alias("src"), F.col("rdst").alias("dst"))
         .agg(F.sum("weight").alias("weight"))
     )
-    return Graph(edges=coarse)
+    # groupBy output: unique (src, dst) by construction
+    return Graph(edges=coarse, deduped=True)

@@ -243,4 +243,5 @@ def read_dimacs9(spark: SparkSession, path: str) -> Graph:
 def read_parquet_graph(spark: SparkSession, path: str) -> Graph:
     """Our binary format (replaces binary CSR / blosc-HDF5): a parquet edge
     table already in canonical symmetrized form."""
-    return Graph(edges=spark.read.parquet(path))
+    # written from a canonical Graph (write_parquet_graph contract)
+    return Graph(edges=spark.read.parquet(path), deduped=True)

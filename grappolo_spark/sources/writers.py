@@ -241,7 +241,8 @@ def write_bucketed_edges(
 def read_bucketed_graph(spark, table: str) -> Graph:
     """Load a :func:`write_bucketed_edges` table; the returned graph's
     edge scans carry the bucket layout (no repartition needed)."""
-    return Graph(edges=spark.table(table))
+    # written from a canonical Graph (write_bucketed_edges contract)
+    return Graph(edges=spark.table(table), deduped=True)
 
 
 def build_old2new_map(assign: DataFrame) -> DataFrame:

@@ -396,3 +396,33 @@ def test_colored_distributed_broadcast_layout_matches(spark, monkeypatch):
         )
         monkeypatch.undo()
         assert t_b == _phase_tuple(res_s), nv
+
+
+def test_deduped_graph_skips_pair_distinct(spark):
+    """Canonical graphs carry deduped=True (edge rows unique by
+    construction) and the pair-table re-dedup exchange is elided; a raw
+    Graph(edges=...) stays conservative. Results are identical either
+    way — distinct over unique rows is the identity."""
+    from grappolo_spark.operators.coloring import (
+        distance_one_coloring,
+        multihash_coloring,
+    )
+    from grappolo_spark.operators.components import connected_components
+    from grappolo_spark.operators.multiphase import coarsen
+    from grappolo_spark.sources.fixtures import karate
+
+    g = karate(spark)
+    assert g.deduped and g.partition_by_src().deduped
+    g_raw = Graph(edges=g.edges)
+    assert not g_raw.deduped
+    assign = g.vertex_ids().select("v", (F.col("v") % 4).alias("comm"))
+    assert coarsen(g, assign).deduped
+
+    for fn in (
+        lambda x: connected_components(x, local_threshold=0),
+        distance_one_coloring,
+        multihash_coloring,
+    ):
+        got = sorted(map(tuple, fn(g).collect()))
+        want = sorted(map(tuple, fn(g_raw).collect()))
+        assert got == want, fn
